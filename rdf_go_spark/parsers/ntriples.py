@@ -1,0 +1,275 @@
+"""N-Triples / N-Quads line parsers — pure Python kernel.
+
+Behavior parity with the reference decoders:
+- line loop: skip blank lines and ``#`` comments (rdf/ntriples.go:46-49)
+- statement grammar + trailing ``.`` and comment handling
+  (rdf/ntriples.go:148-223)
+- term cursor: IRI (raw escapes validated, kept verbatim), blank node
+  (no colons), double-quoted literal with ``@lang`` / ``^^<dt>``,
+  RDF 1.2 triple term ``<<( s p o )>>`` as object only
+  (rdf/ntriples.go:251-588)
+- absolute-IRI requirement incl. graph term (rdf/ntriples.go:383-418)
+
+The Spark wrapper (operators/parse_spark.py) maps this kernel over Arrow
+batches with ``mapInPandas``; per-line parsing is embarrassingly parallel.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from ..terms import (
+    IRI, BlankNode, Literal, ParseError, Quad, Term, TripleTerm,
+    RDF_LANGSTRING, RDF_DIRLANGSTRING,
+    has_scheme, is_valid_lang_tag, unescape_iri, unescape_string,
+)
+
+_DELIMS = set(" \t\r\n.)<>")
+_HEX = set("0123456789abcdefABCDEF")
+
+
+class _Cursor:
+    __slots__ = ("input", "pos")
+
+    def __init__(self, line: str):
+        self.input = line
+        self.pos = 0
+
+    def error(self, msg: str) -> ParseError:
+        return ParseError(msg, col=self.pos)
+
+    def skip_ws(self) -> None:
+        s, n = self.input, len(self.input)
+        p = self.pos
+        while p < n and s[p] in " \t":
+            p += 1
+        self.pos = p
+
+    def consume(self, ch: str) -> bool:
+        if self.pos < len(self.input) and self.input[self.pos] == ch:
+            self.pos += 1
+            return True
+        return False
+
+    def startswith(self, prefix: str) -> bool:
+        return self.input.startswith(prefix, self.pos)
+
+    # --- terms ------------------------------------------------------------
+
+    def parse_iri(self) -> IRI:
+        self.skip_ws()
+        s = self.input
+        if self.pos >= len(s) or s[self.pos] != "<":
+            raise self.error("expected IRI")
+        self.pos += 1
+        start = self.pos
+        n = len(s)
+        while self.pos < n and s[self.pos] != ">":
+            ch = s[self.pos]
+            if ch in " \t\n\r":
+                raise self.error("invalid character in IRI")
+            if ch == "\\":
+                nxt = s[self.pos + 1] if self.pos + 1 < n else ""
+                if nxt == "u":
+                    if self.pos + 5 >= n or any(c not in _HEX for c in s[self.pos + 2:self.pos + 6]):
+                        raise self.error("invalid character in IRI")
+                    self.pos += 6
+                    continue
+                if nxt == "U":
+                    if self.pos + 9 >= n or any(c not in _HEX for c in s[self.pos + 2:self.pos + 10]):
+                        raise self.error("invalid character in IRI")
+                    self.pos += 10
+                    continue
+                raise self.error("invalid character in IRI")
+            self.pos += 1
+        if self.pos >= n:
+            raise self.error("unterminated IRI")
+        value = unescape_iri(s[start:self.pos])
+        self.pos += 1
+        if not has_scheme(value):
+            raise self.error("invalid IRI: relative IRI not allowed")
+        return IRI(value)
+
+    def parse_bnode(self) -> BlankNode:
+        self.skip_ws()
+        if not self.startswith("_:"):
+            raise self.error("expected blank node")
+        self.pos += 2
+        s, n = self.input, len(self.input)
+        if self.pos < n and s[self.pos] == ":":
+            raise self.error("invalid blank node syntax")
+        start = self.pos
+        while self.pos < n and s[self.pos] not in _DELIMS:
+            if s[self.pos] == ":":
+                raise self.error("invalid blank node syntax")
+            self.pos += 1
+        if start == self.pos:
+            raise self.error("blank node id missing")
+        return BlankNode(s[start:self.pos])
+
+    def parse_literal(self) -> Literal:
+        self.skip_ws()
+        if not self.consume('"'):
+            raise self.error("expected literal")
+        s, n = self.input, len(self.input)
+        start = self.pos
+        # scan raw (escapes intact) to the unescaped closing quote
+        while self.pos < n:
+            ch = s[self.pos]
+            if ch == "\\":
+                if self.pos + 1 >= n:
+                    raise self.error("unterminated escape")
+                self.pos += 2
+                continue
+            if ch == '"':
+                break
+            self.pos += 1
+        if self.pos >= n:
+            raise self.error("unterminated string literal")
+        raw = s[start:self.pos]
+        self.pos += 1  # closing quote
+        lexical = unescape_string(raw)
+        self.skip_ws()
+        if self.startswith("@"):
+            self.pos += 1
+            start = self.pos
+            while self.pos < n and s[self.pos] not in _DELIMS:
+                self.pos += 1
+            lang = s[start:self.pos]
+            if not is_valid_lang_tag(lang):
+                raise self.error("invalid language tag")
+            return Literal(lexical, lang=lang)
+        if self.startswith("^^"):
+            self.pos += 2
+            dt = self.parse_iri()
+            if dt.value in (RDF_LANGSTRING, RDF_DIRLANGSTRING):
+                raise self.error(
+                    "langString and dirLangString cannot be used as explicit datatypes")
+            return Literal(lexical, datatype=dt.value)
+        return Literal(lexical)
+
+    def parse_triple_term(self) -> TripleTerm:
+        if not self.startswith("<<"):
+            raise self.error("expected '<<'")
+        self.pos += 2
+        self.skip_ws()
+        if not self.consume("("):
+            raise self.error("expected '('")
+        self.skip_ws()
+        subject = self.parse_subject(allow_triple_term=True)
+        predicate = self.parse_iri()
+        obj = self.parse_object()
+        self.skip_ws()
+        if not self.consume(")"):
+            raise self.error("expected ')'")
+        self.skip_ws()
+        if not self.startswith(">>"):
+            raise self.error("expected '>>'")
+        self.pos += 2
+        return TripleTerm(subject, predicate, obj)
+
+    def parse_subject(self, allow_triple_term: bool = False) -> Term:
+        self.skip_ws()
+        if self.startswith("<<"):
+            if not allow_triple_term:
+                raise self.error("triple term cannot be used as subject")
+            return self.parse_triple_term()
+        if self.startswith("_:"):
+            return self.parse_bnode()
+        return self.parse_iri()
+
+    def parse_object(self) -> Term:
+        self.skip_ws()
+        if self.startswith("<<"):
+            return self.parse_triple_term()
+        if self.startswith("_:"):
+            return self.parse_bnode()
+        if self.startswith('"'):
+            return self.parse_literal()
+        return self.parse_iri()
+
+    def parse_optional_graph(self) -> Optional[Term]:
+        self.skip_ws()
+        if self.pos >= len(self.input) or self.input[self.pos] == ".":
+            return None
+        if self.startswith("<<"):
+            raise self.error("triple term cannot be used as graph name")
+        if self.startswith("_:"):
+            return self.parse_bnode()
+        return self.parse_iri()  # parse_iri enforces absolute IRI
+
+
+def _parse_core(line: str) -> Tuple[_Cursor, Term, IRI, Term]:
+    cur = _Cursor(line)
+    cur.skip_ws()
+    subject = cur.parse_subject(allow_triple_term=False)
+    cur.skip_ws()
+    if cur.startswith("<<"):
+        raise cur.error("triple term cannot be used as predicate")
+    predicate = cur.parse_iri()
+    obj = cur.parse_object()
+    return cur, subject, predicate, obj
+
+
+def parse_ntriples_line(line: str) -> Optional[Quad]:
+    """Parse one N-Triples line; None for blank/comment lines."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    cur, s, p, o = _parse_core(line)
+    cur.skip_ws()
+    if not cur.consume("."):
+        raise cur.error("expected '.' at end of statement")
+    cur.skip_ws()
+    if cur.pos < len(cur.input) and cur.input[cur.pos] not in "#\r\n":
+        raise cur.error("graph term not allowed in N-Triples")
+    return Quad(s, p, o, None)
+
+
+def parse_nquads_line(line: str) -> Optional[Quad]:
+    """Parse one N-Quads line; None for blank/comment lines."""
+    line = line.strip()
+    if not line or line.startswith("#"):
+        return None
+    cur, s, p, o = _parse_core(line)
+    graph = cur.parse_optional_graph()
+    cur.skip_ws()
+    if not cur.consume("."):
+        raise cur.error("expected '.' at end of statement")
+    cur.skip_ws()
+    if cur.pos < len(cur.input) and cur.input[cur.pos] not in "#\r\n":
+        raise cur.error("unexpected trailing content")
+    return Quad(s, p, o, graph)
+
+
+def parse_document(text: str, quads: bool = False,
+                   max_line_bytes: int = 1 << 20,
+                   max_triples: int = 0) -> Tuple[List[Quad], List[ParseError]]:
+    """Parse a whole N-Triples/N-Quads document.
+
+    Returns (statements, errors); errors carry line numbers so callers can
+    route bad lines to a quarantine DataFrame instead of failing the job
+    (Spark-side replacement for the reference's sticky decoder error).
+    """
+    parse = parse_nquads_line if quads else parse_ntriples_line
+    out: List[Quad] = []
+    errs: List[ParseError] = []
+    for lineno, line in enumerate(text.split("\n"), start=1):
+        if max_line_bytes and len(line) > max_line_bytes:
+            errs.append(ParseError("line exceeds MaxLineBytes", line=lineno,
+                                   code="ERR_LIMIT"))
+            continue
+        try:
+            st = parse(line)
+        except ParseError as e:
+            e.line = lineno
+            e.excerpt = line[:80]
+            errs.append(e)
+            continue
+        if st is not None:
+            if max_triples and len(out) >= max_triples:
+                errs.append(ParseError("triple limit exceeded", line=lineno,
+                                       code="ERR_LIMIT"))
+                break
+            out.append(st)
+    return out, errs
