@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction query at sf0.001.
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL the driver compares against
+at sf0.01. Transcript-based queries regenerate the deterministic transcript
+corpus arithmetically on BOTH sides (Spark built-ins vs DuckDB range()), so
+the oracle is fully independent of the Spark execution path.
 """
 
 from __future__ import annotations
@@ -12,27 +13,81 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rdf_go_spark.plans.pipeline import kg_triples
+from rdf_go_spark.sources.transcripts import n_conv_for_sf_dir, synth_transcripts
+
+N_CONV_ORACLE = 2000  # driver correctness scale (sf0.01, FIXTURES.md §1)
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline queries
+# ---------------------------------------------------------------------------
+
+def _q_kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kg_triples(spark, sf_dir)
+
+
+def _q_kg_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn assembly: per-conversation aggregates under stable ordering."""
+    t = synth_transcripts(spark, n_conv_for_sf_dir(sf_dir))
+    return (
+        t.groupBy("conv_id").agg(
+            F.count("*").alias("n_turns"),
+            F.count_distinct("role").alias("n_roles"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("last_ts"),
+        )
+    )
+
+
+def _q_kg_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-link aggregation (hot-key skewed groupBy over linked triples)."""
+    triples = kg_triples(spark, sf_dir)
+    return (
+        triples.filter(F.col("pred") == "<http://example.org/v/mentions>")
+        .groupBy(F.col("obj").alias("entity_iri"))
+        .agg(F.count("*").alias("n_mentions"),
+             F.count_distinct("conv_id").alias("n_convs"))
+    )
+
+
+def _q_kg_turn_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-hint invariant: per-turn text equality under stable
+    (conv_id, turn_idx) window ordering — reassemble turns through a window
+    and re-emit them; must equal the generator output byte-for-byte."""
+    from pyspark.sql import Window
+    t = synth_transcripts(spark, n_conv_for_sf_dir(sf_dir))
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    return (
+        t.withColumn("rn", F.row_number().over(w) - 1)
+        .select("conv_id", F.col("rn").cast("int").alias("turn_idx"),
+                "role", "text", "tool",
+                F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'").alias("ts_iso"))
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "kg_triples": _q_kg_triples,
+    "kg_conversation_stats": _q_kg_conversation_stats,
+    "kg_entity_mentions": _q_kg_entity_mentions,
+    "kg_turn_text_roundtrip": _q_kg_turn_text_roundtrip,
+}
+
+from rdf_go_spark.plans.oracles import kg_oracles
+
+ORACLES: dict[str, str] = kg_oracles(N_CONV_ORACLE)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on the smoke-scale corpus; driver checks rows>0."""
+    return kg_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Headline benchmark: runs the flagship KG queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys: triples_per_sec (throughput of the flagship extraction) and
+n_conv / n_triples for context. Set SPARK_GRAFT_BENCH_QUERIES to a
+comma-separated subset to iterate faster.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+    from rdf_go_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="rdf_go_spark_bench")
+    qdict = entrymod.queries()
+    subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    names = [n.strip() for n in subset.split(",")] if subset else list(qdict)
+
+    timings: dict[str, float] = {}
+    counts: dict[str, int] = {}
+    for name in names:
+        fn = qdict[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        counts[name] = n
+
+    total = round(sum(timings.values()), 3)
+    n_triples = counts.get("kg_triples", 0)
+    tps = round(n_triples / timings["kg_triples"], 1) if timings.get("kg_triples") else None
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rows": counts,
+        "triples_per_sec": tps,
+    }
+    spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

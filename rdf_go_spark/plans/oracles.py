@@ -1,0 +1,36 @@
+"""DuckDB oracle SQL builders, parameterized by transcript scale so both
+the driver (n_conv=2000 at sf0.01) and pytest (n_conv=50 smoke) can use them.
+"""
+
+from __future__ import annotations
+
+from ..sources.transcripts import transcripts_sql
+from .pipeline import kg_triples_oracle_sql
+
+
+def kg_oracles(n_conv: int) -> dict[str, str]:
+    return {
+        "kg_triples": kg_triples_oracle_sql(n_conv),
+        "kg_conversation_stats": f"""
+WITH {transcripts_sql(n_conv)}
+SELECT conv_id,
+       COUNT(*)::BIGINT AS n_turns,
+       COUNT(DISTINCT role)::BIGINT AS n_roles,
+       SUM(length(text))::BIGINT AS total_chars,
+       strftime(MAX(ts), '%Y-%m-%dT%H:%M:%SZ') AS last_ts
+FROM transcripts GROUP BY conv_id
+""".strip(),
+        "kg_entity_mentions": f"""
+WITH {transcripts_sql(n_conv)}
+SELECT printf('<http://example.org/e/%d>', k) AS entity_iri,
+       COUNT(*)::BIGINT AS n_mentions,
+       COUNT(DISTINCT conv_id)::BIGINT AS n_convs
+FROM transcripts GROUP BY k
+""".strip(),
+        "kg_turn_text_roundtrip": f"""
+WITH {transcripts_sql(n_conv)}
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%dT%H:%M:%SZ') AS ts_iso
+FROM transcripts
+""".strip(),
+    }
