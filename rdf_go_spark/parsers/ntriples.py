@@ -29,11 +29,14 @@ _HEX = set("0123456789abcdefABCDEF")
 
 
 class _Cursor:
-    __slots__ = ("input", "pos")
+    __slots__ = ("input", "pos", "allow_star")
 
-    def __init__(self, line: str):
+    def __init__(self, line: str, allow_star: bool = False):
         self.input = line
         self.pos = 0
+        # classic RDF-star N-Triples: << s p o >> terms allowed as
+        # subject/object (w3c-tests/turtle/eval expected files)
+        self.allow_star = allow_star
 
     def error(self, msg: str) -> ParseError:
         return ParseError(msg, col=self.pos)
@@ -99,13 +102,27 @@ class _Cursor:
         if self.pos < n and s[self.pos] == ":":
             raise self.error("invalid blank node syntax")
         start = self.pos
-        while self.pos < n and s[self.pos] not in _DELIMS:
-            if s[self.pos] == ":":
+        while self.pos < n:
+            ch = s[self.pos]
+            if ch == ":":
                 raise self.error("invalid blank node syntax")
+            if ch == ".":
+                # '.' is part of the label only mid-label (BLANK_NODE_LABEL
+                # grammar); a trailing '.' terminates the statement
+                nxt = s[self.pos + 1] if self.pos + 1 < n else ""
+                if nxt and nxt not in _DELIMS and nxt != ":":
+                    self.pos += 1
+                    continue
+                break
+            if ch in _DELIMS:
+                break
             self.pos += 1
         if start == self.pos:
             raise self.error("blank node id missing")
-        return BlankNode(s[start:self.pos])
+        label = s[start:self.pos]
+        if label.startswith(".") or label.endswith("."):
+            raise self.error("invalid blank node label")
+        return BlankNode(label)
 
     def parse_literal(self) -> Literal:
         self.skip_ws()
@@ -154,6 +171,16 @@ class _Cursor:
         self.pos += 2
         self.skip_ws()
         if not self.consume("("):
+            if self.allow_star:
+                # classic quoted triple << s p o >>
+                subject = self.parse_subject(allow_triple_term=True)
+                predicate = self.parse_iri()
+                obj = self.parse_object()
+                self.skip_ws()
+                if not self.startswith(">>"):
+                    raise self.error("expected '>>'")
+                self.pos += 2
+                return TripleTerm(subject, predicate, obj)
             raise self.error("expected '('")
         self.skip_ws()
         subject = self.parse_subject(allow_triple_term=True)
@@ -199,10 +226,10 @@ class _Cursor:
         return self.parse_iri()  # parse_iri enforces absolute IRI
 
 
-def _parse_core(line: str) -> Tuple[_Cursor, Term, IRI, Term]:
-    cur = _Cursor(line)
+def _parse_core(line: str, allow_star: bool = False) -> Tuple[_Cursor, Term, IRI, Term]:
+    cur = _Cursor(line, allow_star=allow_star)
     cur.skip_ws()
-    subject = cur.parse_subject(allow_triple_term=False)
+    subject = cur.parse_subject(allow_triple_term=allow_star)
     cur.skip_ws()
     if cur.startswith("<<"):
         raise cur.error("triple term cannot be used as predicate")
@@ -211,12 +238,12 @@ def _parse_core(line: str) -> Tuple[_Cursor, Term, IRI, Term]:
     return cur, subject, predicate, obj
 
 
-def parse_ntriples_line(line: str) -> Optional[Quad]:
+def parse_ntriples_line(line: str, allow_star: bool = False) -> Optional[Quad]:
     """Parse one N-Triples line; None for blank/comment lines."""
     line = line.strip()
     if not line or line.startswith("#"):
         return None
-    cur, s, p, o = _parse_core(line)
+    cur, s, p, o = _parse_core(line, allow_star=allow_star)
     cur.skip_ws()
     if not cur.consume("."):
         raise cur.error("expected '.' at end of statement")
@@ -244,14 +271,20 @@ def parse_nquads_line(line: str) -> Optional[Quad]:
 
 def parse_document(text: str, quads: bool = False,
                    max_line_bytes: int = 1 << 20,
-                   max_triples: int = 0) -> Tuple[List[Quad], List[ParseError]]:
+                   max_triples: int = 0,
+                   allow_star: bool = False) -> Tuple[List[Quad], List[ParseError]]:
     """Parse a whole N-Triples/N-Quads document.
 
     Returns (statements, errors); errors carry line numbers so callers can
     route bad lines to a quarantine DataFrame instead of failing the job
     (Spark-side replacement for the reference's sticky decoder error).
     """
-    parse = parse_nquads_line if quads else parse_ntriples_line
+    if quads:
+        def parse(line):
+            return parse_nquads_line(line)
+    else:
+        def parse(line):
+            return parse_ntriples_line(line, allow_star=allow_star)
     out: List[Quad] = []
     errs: List[ParseError] = []
     for lineno, line in enumerate(text.split("\n"), start=1):

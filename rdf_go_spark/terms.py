@@ -394,28 +394,125 @@ def validate_iri_strict(value: str) -> Optional[str]:
     return None
 
 
+def _split_iri(iri: str):
+    """Split into (scheme, authority, path, query, fragment); authority and
+    query/fragment are None when absent."""
+    scheme = None
+    rest = iri
+    for i, ch in enumerate(iri):
+        if ch == ":" and i > 0 and has_scheme(iri):
+            scheme = iri[:i]
+            rest = iri[i + 1:]
+            break
+        if ch in "/?#":
+            break
+    fragment = None
+    if "#" in rest:
+        rest, fragment = rest.split("#", 1)
+    query = None
+    if "?" in rest:
+        rest, query = rest.split("?", 1)
+    authority = None
+    if rest.startswith("//"):
+        rest2 = rest[2:]
+        end = len(rest2)
+        for j, ch in enumerate(rest2):
+            if ch == "/":
+                end = j
+                break
+        authority = rest2[:end]
+        path = rest2[end:]
+    else:
+        path = rest
+    return scheme, authority, path, query, fragment
+
+
+def _merge_paths(base_auth, base_path: str, rel_path: str) -> str:
+    if base_auth is not None and not base_path:
+        return "/" + rel_path
+    idx = base_path.rfind("/")
+    if idx < 0:
+        return rel_path
+    return base_path[:idx + 1] + rel_path
+
+
+def _remove_dot_segments(path: str) -> str:
+    out: list = []
+    inp = path
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            start = 1 if inp.startswith("/") else 0
+            j = inp.find("/", start)
+            if j < 0:
+                out.append(inp)
+                inp = ""
+            else:
+                out.append(inp[:j])
+                inp = inp[j:]
+    return "".join(out)
+
+
+def _recompose(scheme, authority, path, query, fragment) -> str:
+    r = ""
+    if scheme is not None:
+        r += scheme + ":"
+    if authority is not None:
+        r += "//" + authority
+    r += path
+    if query is not None:
+        r += "?" + query
+    if fragment is not None:
+        r += "#" + fragment
+    return r
+
+
 def resolve_iri(base: str, rel: str) -> str:
-    """RFC 3986 resolve with the reference's concat fallback
-    (rdf/iri_resolve.go:9-44)."""
+    """RFC 3986 §5.2 reference resolution, implemented directly.
+
+    urllib.parse.urljoin mangles paths containing ``//`` (e.g. base
+    ``http://ab//de//ghi``, w3c turtle IRI-resolution-08), and Go's net/url
+    keeps them — so we follow the RFC algorithm verbatim. Mirrors the
+    reference's resolver incl. its behavior for empty base
+    (rdf/iri_resolve.go:9-44).
+    """
     if not base:
         return rel
-    if has_scheme(rel):
-        return rel
-    try:
-        resolved = urljoin(base, rel, allow_fragments=True)
-        # urljoin drops an empty fragment; the RDF suites require keeping
-        # the final form as-is. Preserve trailing '#' like Go net/url does.
-        if rel.endswith("#") and not resolved.endswith("#"):
-            resolved += "#"
-        return resolved
-    except ValueError:
-        # Fallback: naive concatenation against the base directory.
-        if rel.startswith("#") or rel.startswith("?"):
-            return base + rel
-        idx = base.rfind("/")
-        if idx >= 0:
-            return base[:idx + 1] + rel
-        return base + "/" + rel
+    r_scheme, r_auth, r_path, r_query, r_frag = _split_iri(rel)
+    if r_scheme is not None:
+        return _recompose(r_scheme, r_auth, _remove_dot_segments(r_path),
+                          r_query, r_frag)
+    b_scheme, b_auth, b_path, b_query, _ = _split_iri(base)
+    if r_auth is not None:
+        return _recompose(b_scheme, r_auth, _remove_dot_segments(r_path),
+                          r_query, r_frag)
+    if not r_path:
+        t_path = b_path
+        t_query = r_query if r_query is not None else b_query
+    else:
+        if r_path.startswith("/"):
+            t_path = _remove_dot_segments(r_path)
+        else:
+            t_path = _remove_dot_segments(_merge_paths(b_auth, b_path, r_path))
+        t_query = r_query
+    return _recompose(b_scheme, b_auth, t_path, t_query, r_frag)
 
 
 # ---------------------------------------------------------------------------
