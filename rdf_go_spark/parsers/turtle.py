@@ -108,6 +108,9 @@ class TurtleParser:
 
     # -- document -----------------------------------------------------------
 
+    def _emit(self, s, p, o) -> None:
+        self.triples.append(Quad(s, p, o, None))
+
     def parse(self) -> List[Quad]:
         while not self.at_end():
             self.parse_statement()
@@ -192,6 +195,11 @@ class TurtleParser:
         if self.pos >= self.n:
             raise self.error("expected ':' in prefix declaration")
         prefix = self.s[start:self.pos]
+        if prefix:
+            # PN_PREFIX: starts with a letter, no leading/trailing dot
+            if not (prefix[0].isalpha() or ord(prefix[0]) >= 0x80) or \
+                    prefix.endswith("."):
+                raise self.error(f"invalid prefix name {prefix!r}")
         self.pos += 1  # ':'
         self.skip_ws()
         iri = self.parse_iriref_value()
@@ -210,14 +218,14 @@ class TurtleParser:
             # blank node property list as subject; po-list afterwards optional
             subject = self.parse_bnode_property_list(0)
             self.skip_ws()
-            if self.peek() != ".":
+            if self.peek() not in (".", "}", ""):
                 self.parse_predicate_object_list(subject, 0)
         elif self.startswith("<<"):
             # reified triple as subject; standalone statement allowed
             # (w3c turtle12-syntax-basic-04)
             subject = self.parse_subject(0)
             self.skip_ws()
-            if self.peek() != ".":
+            if self.peek() not in (".", "}", ""):
                 self.parse_predicate_object_list(subject, 0)
         else:
             subject = self.parse_subject(0)
@@ -276,7 +284,7 @@ class TurtleParser:
     def parse_object_list(self, subject: Term, pred: IRI, depth: int) -> None:
         while True:
             obj = self.parse_object(depth)
-            self.triples.append(Quad(subject, pred, obj, None))
+            self._emit(subject, pred, obj)
             self._parse_annotation_postfix(subject, pred, obj, depth)
             self.skip_ws()
             if self.peek() == ",":
@@ -306,16 +314,14 @@ class TurtleParser:
                     if not isinstance(r, (IRI, BlankNode)):
                         raise self.error("reifier must be IRI or blank node")
                     reifier = r
-                self.triples.append(
-                    Quad(reifier, IRI(RDF_REIFIES),
-                         TripleTerm(subject, pred, obj), None))
+                self._emit(reifier, IRI(RDF_REIFIES),
+                           TripleTerm(subject, pred, obj))
                 pending = reifier
             elif self.startswith("{|"):
                 if pending is None:
                     pending = self.new_bnode()
-                    self.triples.append(
-                        Quad(pending, IRI(RDF_REIFIES),
-                             TripleTerm(subject, pred, obj), None))
+                    self._emit(pending, IRI(RDF_REIFIES),
+                               TripleTerm(subject, pred, obj))
                 self.parse_annotation_block(pending, depth)
                 pending = None
             else:
@@ -361,13 +367,13 @@ class TurtleParser:
         head = self.new_bnode()
         node = head
         for i, item in enumerate(items):
-            self.triples.append(Quad(node, IRI(RDF_FIRST), item, None))
+            self._emit(node, IRI(RDF_FIRST), item)
             if i + 1 < len(items):
                 nxt = self.new_bnode()
-                self.triples.append(Quad(node, IRI(RDF_REST), nxt, None))
+                self._emit(node, IRI(RDF_REST), nxt)
                 node = nxt
             else:
-                self.triples.append(Quad(node, IRI(RDF_REST), IRI(RDF_NIL), None))
+                self._emit(node, IRI(RDF_REST), IRI(RDF_NIL))
         return head
 
     def parse_bnode_property_list(self, depth: int) -> Term:
@@ -428,8 +434,7 @@ class TurtleParser:
                 reifier = r
         else:
             reifier = self.new_bnode()
-        self.triples.append(
-            Quad(reifier, IRI(RDF_REIFIES), TripleTerm(s, p, o), None))
+        self._emit(reifier, IRI(RDF_REIFIES), TripleTerm(s, p, o))
         self.skip_ws()
         self.expect(">>")
         return reifier
@@ -478,7 +483,7 @@ class TurtleParser:
             pred = self.parse_predicate()
             while True:
                 obj = self.parse_object(depth + 1)
-                self.triples.append(Quad(reifier, pred, obj, None))
+                self._emit(reifier, pred, obj)
                 self._parse_annotation_postfix(reifier, pred, obj, depth + 1)
                 self.skip_ws()
                 if self.peek() == ",":
