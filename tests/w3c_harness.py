@@ -18,6 +18,7 @@ W3C = "/root/reference/w3c-tests"
 # roots; a positive eval match under any candidate passes
 BASES = [
     "https://w3c.github.io/rdf-tests/rdf/rdf11/rdf-turtle/{}",
+    "https://w3c.github.io/rdf-tests/rdf/rdf11/rdf-trig/{}",
     "http://www.w3.org/2013/TurtleTests/{}",
     "http://www.w3.org/2001/sw/DataAccess/df1/tests/{}",
 ]
