@@ -1,0 +1,112 @@
+"""Format auto-detection + unified parse dispatch.
+
+Heuristics mirror the reference (rdf/format_detect.go:17-169,
+rdf/api.go:229-252): sniff the first 512 chars — JSON braces → JSON-LD,
+``<?xml``/``<rdf`` → RDF/XML, directives → Turtle/TriG (graph braces ⇒
+TriG), bare ``<``/``_:`` lines → N-Triples/N-Quads (4 terms ⇒ N-Quads).
+
+In Spark this runs as a column expression chain or inside the parse UDF;
+``parse_any`` is the single entry the mapInPandas wrapper uses
+(reference analogue: NewReader dispatch rdf/api.go:255-309).
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, List, Optional, Tuple
+
+from ..terms import BlankNode, ParseError, Quad
+from .jsonld import parse_jsonld
+from .ntriples import parse_document as parse_nt_document
+from .rdfxml import parse_rdfxml
+from .trig import parse_trig
+from .turtle import parse_turtle
+
+FORMAT_ALIASES = {
+    "turtle": "turtle", "ttl": "turtle", "text/turtle": "turtle",
+    "trig": "trig", "application/trig": "trig",
+    "ntriples": "ntriples", "nt": "ntriples",
+    "application/n-triples": "ntriples",
+    "nquads": "nquads", "nq": "nquads", "application/n-quads": "nquads",
+    "rdfxml": "rdfxml", "rdf": "rdfxml", "xml": "rdfxml",
+    "application/rdf+xml": "rdfxml",
+    "jsonld": "jsonld", "json-ld": "jsonld", "json": "jsonld",
+    "application/ld+json": "jsonld",
+}
+
+
+def parse_format(name: str) -> Optional[str]:
+    """Alias normalization (rdf/format.go:26-46)."""
+    return FORMAT_ALIASES.get(name.strip().lower())
+
+
+_NQ_LINE = re.compile(
+    r"^\s*(<[^>]*>|_:\S+)\s+<[^>]*>\s+(<[^>]*>|_:\S+|\"[^\"]*\"(\^\^<[^>]*>|@[\w-]+)?)\s+(<[^>]*>|_:\S+)\s*\.")
+
+
+def detect_format(sample: str) -> Optional[str]:
+    """Best-effort format sniff over the first 512 chars."""
+    sample = sample[:512].strip()
+    if not sample:
+        return None
+    if sample[0] in "{[":
+        return "jsonld"
+    if sample.startswith("<?xml") or sample.startswith("<rdf:") or \
+            sample.startswith("<rdf ") or "<rdf:RDF" in sample:
+        return "rdfxml"
+    upper = sample.upper()
+    lines = [ln.strip() for ln in sample.splitlines()
+             if ln.strip() and not ln.strip().startswith("#")]
+    first = lines[0] if lines else ""
+    if first.upper().startswith(("@PREFIX", "PREFIX", "@BASE", "BASE",
+                                 "@VERSION", "VERSION")):
+        body = "\n".join(lines)
+        if re.search(r"\{", body) and not re.search(r"\{\|", body):
+            return "trig"
+        return "turtle"
+    # plain statement lines
+    if first.startswith("<") or first.startswith("_:"):
+        if _NQ_LINE.match(first):
+            return "nquads"
+        if re.match(r"^\s*(<[^>]*>|_:\S+)\s+<", first) and \
+                "[" not in first and "(" not in first:
+            # graph-brace statement → TriG
+            if "{" in first and "{|" not in first:
+                return "trig"
+            return "ntriples"
+        return "turtle"
+    if "{" in sample and ":" in sample:
+        return "trig"
+    if ":" in sample:
+        return "turtle"
+    return None
+
+
+PARSERS: Dict[str, Callable] = {
+    "turtle": lambda text, base, bnf: parse_turtle(text, base=base, bnode_factory=bnf),
+    "trig": lambda text, base, bnf: parse_trig(text, base=base, bnode_factory=bnf),
+    "ntriples": lambda text, base, bnf: parse_nt_document(text, quads=False),
+    "nquads": lambda text, base, bnf: parse_nt_document(text, quads=True),
+    "rdfxml": lambda text, base, bnf: parse_rdfxml(text, base=base, bnode_factory=bnf),
+    "jsonld": lambda text, base, bnf: parse_jsonld(text, base=base, bnode_factory=bnf),
+}
+
+
+def parse_any(text: str, fmt: Optional[str] = None, base: str = "",
+              bnode_factory: Optional[Callable[[], BlankNode]] = None
+              ) -> Tuple[List[Quad], List[ParseError], str]:
+    """Parse with explicit or auto-detected format.
+
+    Returns (statements, errors, format_used)."""
+    if fmt:
+        canon = parse_format(fmt)
+        if canon is None:
+            return [], [ParseError(f"unknown format {fmt!r}",
+                                   code="ERR_FORMAT")], ""
+    else:
+        canon = detect_format(text)
+        if canon is None:
+            return [], [ParseError("cannot detect format",
+                                   code="ERR_FORMAT")], ""
+    stmts, errs = PARSERS[canon](text, base, bnode_factory)
+    return stmts, errs, canon
