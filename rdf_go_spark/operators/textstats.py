@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines over the
+``documents`` table — all JVM-side column expressions (whole-stage codegen,
+zero Python on the hot path), each with an exact DuckDB oracle twin.
+
+Operators: token counting, quality scoring (length/punct/stopword ratios),
+n-gram language ID heuristic, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny embedded stopword list for the language-ID heuristic; the regexes
+# below must stay in lockstep with the SQL in oracles
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "for", "on", "with"]
+_EN_RE = r"\b(the|a|of|and|to|in|is|for|on|with)\b"
+_PUNCT_RE = r"[.,;:!?'\"()\[\]{}-]"
+_TOKEN_RE = r"[^a-z0-9]+"
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Per-document token/char/punct stats + a quality score.
+
+    quality = min(1, tokens/100) * (1 - punct_ratio) — a simple
+    length × cleanliness heuristic; scores are rounded for cross-engine
+    float stability.
+    """
+    toks = F.split(F.lower(F.col("text")), _TOKEN_RE)
+    n_tokens = F.size(F.array_remove(toks, ""))
+    n_chars = F.length("text")
+    n_punct = F.size(F.split(F.col("text"), _PUNCT_RE)) - 1
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (1 - punct_ratio), 6)
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+    )
+
+
+def token_stats_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       len(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                       x -> x <> ''))::BIGINT AS n_tokens,
+       length(text)::INT AS n_chars_computed,
+       round((len(regexp_split_to_array(text, '[.,;:!?''"()\\[\\]{{}}-]')) - 1)
+             * 1.0 / greatest(length(text), 1), 6) AS punct_ratio,
+       round(least(len(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                                   x -> x <> '')) / 100.0, 1.0)
+             * (1 - round((len(regexp_split_to_array(text, '[.,;:!?''"()\\[\\]{{}}-]')) - 1)
+                          * 1.0 / greatest(length(text), 1), 6)), 6) AS quality
+FROM {table}
+""".strip()
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """n-gram-free heuristic language ID: ratio of English stopword hits
+    to tokens; >= 0.05 → 'en', else 'unk'. (A real model is out of scope;
+    the shape — pure column expr, broadcastable wordlist — is the point.)"""
+    toks = F.size(F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), ""))
+    hits = F.size(F.array_remove(
+        F.split(F.regexp_replace(F.lower(F.col("text")), _EN_RE, "\x01"),
+                "\x01"), "")) - 1
+    # hits = number of stopword matches = splits minus one
+    hits = F.size(F.split(F.lower(F.col("text")), _EN_RE)) - 1
+    ratio = F.round(hits / F.greatest(toks, F.lit(1)), 6)
+    return docs.select(
+        "doc_id", "lang",
+        hits.alias("sw_hits"),
+        ratio.alias("sw_ratio"),
+        F.when(ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+        .alias("lang_pred"),
+    )
+
+
+def lang_id_oracle(table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id, lang,
+    len(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                    x -> x <> ''))::INT AS toks,
+    (len(regexp_split_to_array(lower(text), '{_EN_RE.replace("'", "''")}')) - 1)::INT AS hits
+  FROM {table}
+)
+SELECT doc_id, lang, hits AS sw_hits,
+       round(hits * 1.0 / greatest(toks, 1), 6) AS sw_ratio,
+       CASE WHEN round(hits * 1.0 / greatest(toks, 1), 6) >= 0.05
+            THEN 'en' ELSE 'unk' END AS lang_pred
+FROM t
+""".strip()
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Normalized-content fingerprint: md5 over lowercased,
+    whitespace-collapsed text. Deterministic and identical in any engine
+    with md5 — the basis for exact dedup."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _TOKEN_RE, " "))
+    return docs.select("doc_id", F.md5(norm).alias("fp"))
+
+
+def fingerprint_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '{_TOKEN_RE}', ' ', 'g'))) AS fp
+FROM {table}
+""".strip()
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups by content fingerprint: keep min doc_id,
+    count group size. hash-groupBy — one shuffle on the fingerprint,
+    map-side partial aggregation for free."""
+    fp = fingerprint(docs)
+    return (fp.groupBy("fp")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count("*").alias("n_members"))
+            .filter(F.col("n_members") >= 1))
+
+
+def exact_dedup_oracle(table: str = "documents") -> str:
+    return f"""
+SELECT md5(trim(regexp_replace(lower(text), '{_TOKEN_RE}', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_doc_id,
+       count(*)::BIGINT AS n_members
+FROM {table} GROUP BY 1
+""".strip()
