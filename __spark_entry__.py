@@ -109,11 +109,23 @@ def _analytics_queries():
     }
 
 
+def _q_kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_go_spark.plans.pipeline import kg_export_ntriples
+    return kg_export_ntriples(spark, sf_dir)
+
+
+def _q_rdf_parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_go_spark.plans.pipeline import rdf_parse_multiformat
+    return rdf_parse_multiformat(spark, sf_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": _q_kg_triples,
     "kg_conversation_stats": _q_kg_conversation_stats,
     "kg_entity_mentions": _q_kg_entity_mentions,
     "kg_turn_text_roundtrip": _q_kg_turn_text_roundtrip,
+    "kg_export_ntriples": _q_kg_export_ntriples,
+    "rdf_parse_multiformat": _q_rdf_parse_multiformat,
     **_training_data_queries(),
     **_analytics_queries(),
 }

@@ -101,7 +101,8 @@ def _parse_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
 
 
 def extract_triples(transcripts: DataFrame, entities: Optional[DataFrame] = None,
-                    include_payload: bool = True) -> DataFrame:
+                    include_payload: bool = True,
+                    include_prev_turn: bool = True) -> DataFrame:
     """Full extraction: structural rules ∪ entity links ∪ embedded payloads."""
     t = (
         transcripts
@@ -136,11 +137,13 @@ def extract_triples(transcripts: DataFrame, entities: Optional[DataFrame] = None
                        F.concat(F.lit('"'), F.col("tool"), F.lit('"')), True))
 
     # prev-turn adjacency via window lag under stable turn ordering
-    w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    prev = (t.withColumn("prev_bnode", F.lag("bnode").over(w))
-            .filter(F.col("prev_bnode").isNotNull()))
-    parts.append(_rule(prev, F.col("bnode"), V_NS + "prevTurn",
-                       F.col("prev_bnode"), False))
+    # (batch only — unbounded windows are not streamable)
+    if include_prev_turn:
+        w = Window.partitionBy("conv_id").orderBy("turn_idx")
+        prev = (t.withColumn("prev_bnode", F.lag("bnode").over(w))
+                .filter(F.col("prev_bnode").isNotNull()))
+        parts.append(_rule(prev, F.col("bnode"), V_NS + "prevTurn",
+                           F.col("prev_bnode"), False))
 
     # entity linking: mention detection (JVM regex) + broadcast dict join
     if entities is not None:

@@ -5,12 +5,17 @@ the driver (n_conv=2000 at sf0.01) and pytest (n_conv=50 smoke) can use them.
 from __future__ import annotations
 
 from ..sources.transcripts import transcripts_sql
-from .pipeline import kg_triples_oracle_sql
+from .pipeline import (
+    kg_export_ntriples_oracle_sql, kg_triples_oracle_sql,
+    rdf_parse_multiformat_oracle_sql,
+)
 
 
 def kg_oracles(n_conv: int) -> dict[str, str]:
     return {
         "kg_triples": kg_triples_oracle_sql(n_conv),
+        "kg_export_ntriples": kg_export_ntriples_oracle_sql(n_conv),
+        "rdf_parse_multiformat": rdf_parse_multiformat_oracle_sql(n_conv),
         "kg_conversation_stats": f"""
 WITH {transcripts_sql(n_conv)}
 SELECT conv_id,

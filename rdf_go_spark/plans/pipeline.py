@@ -27,6 +27,96 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(transcripts, entities)
 
 
+def kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical N-Triples export of the graph (rdf/ntriples.go:613-626
+    line shape; terms are already canonical strings)."""
+    from pyspark.sql import functions as F
+    t = kg_triples(spark, sf_dir)
+    return t.select(
+        F.concat_ws(" ", "subj", "pred", "obj", F.lit(".")).alias("line"),
+        "conv_id", "turn_idx")
+
+
+def kg_export_ntriples_oracle_sql(n_conv: int) -> str:
+    return f"""
+WITH base AS ({kg_triples_oracle_sql(n_conv)})
+SELECT subj || ' ' || pred || ' ' || obj || ' .' AS line, conv_id, turn_idx
+FROM base
+""".strip()
+
+
+def rdf_parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed parse with format auto-detection: one synthetic RDF
+    document per conversation, cycling Turtle / N-Triples / JSON-LD —
+    exercises detect.py + three parser kernels inside mapInPandas.
+
+    The JSON-LD branch asserts the reference's native-number →
+    xsd:decimal quirk end-to-end (rdf/jsonld_helpers.go:10-21).
+    """
+    from pyspark.sql import functions as F
+
+    from ..operators.parse_spark import parse_rdf_documents, triples_of
+    from ..sources.transcripts import n_conv_for_sf_dir
+
+    n = n_conv_for_sf_dir(sf_dir)
+    base = spark.range(0, n).select(
+        F.format_string("conv-%06d", F.col("id")).alias("doc_key"),
+        (F.col("id") % 3).cast("int").alias("variant"),
+        (F.col("id") % 8 + 1).cast("int").alias("n_turns"))
+    conv_iri = F.format_string("http://example.org/conv/%s", F.col("doc_key"))
+    turtle = F.format_string(
+        "@prefix c: <http://example.org/conv/> .\n"
+        "@prefix v: <http://example.org/v/> .\n"
+        "c:%s v:turns %d ; v:kind \"turtle\" .\n",
+        F.col("doc_key"), F.col("n_turns"))
+    ntriples = F.format_string(
+        "<%s> <http://example.org/v/turns> "
+        "\"%d\"^^<http://www.w3.org/2001/XMLSchema#integer> .\n"
+        "<%s> <http://example.org/v/kind> \"ntriples\" .\n",
+        conv_iri, F.col("n_turns"), conv_iri)
+    jsonld = F.format_string(
+        '{"@context":{"v":"http://example.org/v/"},"@id":"%s",'
+        '"v:turns":%d,"v:kind":"jsonld"}',
+        conv_iri, F.col("n_turns"))
+    docs = base.withColumn(
+        "text",
+        F.when(F.col("variant") == 0, turtle)
+        .when(F.col("variant") == 1, ntriples)
+        .otherwise(jsonld))
+    parsed = parse_rdf_documents(docs, fmt=None)  # auto-detect
+    return triples_of(parsed).select(
+        "doc_key", "fmt", "subj", "pred", "obj", "obj_is_literal")
+
+
+def rdf_parse_multiformat_oracle_sql(n_conv: int) -> str:
+    return f"""
+WITH base AS (
+  SELECT printf('conv-%06d', i) AS doc_key,
+         (i % 3)::INT AS variant,
+         (i % 8 + 1)::INT AS n_turns,
+         '<http://example.org/conv/' || printf('conv-%06d', i) || '>' AS conv_iri
+  FROM range(0, {n_conv}) r(i)
+),
+fmts AS (
+  SELECT *, CASE variant WHEN 0 THEN 'turtle' WHEN 1 THEN 'ntriples'
+                         ELSE 'jsonld' END AS fmt
+  FROM base
+)
+SELECT doc_key, fmt, conv_iri AS subj,
+       '<http://example.org/v/turns>' AS pred,
+       CASE WHEN fmt = 'jsonld'
+            THEN printf('"%d"^^<http://www.w3.org/2001/XMLSchema#decimal>', n_turns)
+            ELSE printf('"%d"^^<http://www.w3.org/2001/XMLSchema#integer>', n_turns)
+       END AS obj,
+       TRUE AS obj_is_literal
+FROM fmts
+UNION ALL
+SELECT doc_key, fmt, conv_iri,
+       '<http://example.org/v/kind>', '"' || fmt || '"', TRUE
+FROM fmts
+""".strip()
+
+
 def kg_triples_oracle_sql(n_conv: int) -> str:
     """Arithmetic oracle for ``kg_triples`` (DuckDB dialect)."""
     return f"""
