@@ -43,11 +43,19 @@ def _q_kg_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_kg_entity_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Entity-link aggregation (hot-key skewed groupBy over linked triples)."""
-    triples = kg_triples(spark, sf_dir)
+    """Entity-link aggregation (hot-key skewed groupBy over linked
+    mentions). Computes the mention rule directly — Catalyst can't prune
+    the other union branches (incl. the Python payload parse) out of the
+    full kg_triples plan, so we don't make it try."""
+    from rdf_go_spark.operators.linking import detect_mentions, link_broadcast
+    from rdf_go_spark.sources.transcripts import synth_entities
+
+    t = synth_transcripts(spark, n_conv_for_sf_dir(sf_dir))
+    linked = link_broadcast(detect_mentions(t), synth_entities(spark))
     return (
-        triples.filter(F.col("pred") == "<http://example.org/v/mentions>")
-        .groupBy(F.col("obj").alias("entity_iri"))
+        linked.groupBy(
+            F.concat(F.lit("<"), F.col("entity_iri"), F.lit(">"))
+            .alias("entity_iri"))
         .agg(F.count("*").alias("n_mentions"),
              F.count_distinct("conv_id").alias("n_convs"))
     )

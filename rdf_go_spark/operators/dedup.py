@@ -107,14 +107,26 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {threshold}
 """.strip()
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, i, sig) minhash signatures; h_i(s) = hash64(i || ':' || s),
-    all JVM-side column expressions."""
-    sh = shingles(docs)
+MERSENNE_61 = (1 << 61) - 1
+
+
+def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
+                       sh: DataFrame = None) -> DataFrame:
+    """(doc_id, i, sig) minhash signatures via an affine hash family over a
+    single base hash: h_i(s) = ((2i+3)·hash64(s) + i²+1) mod (2⁶¹−1) —
+    ONE md5 per shingle instead of k, everything JVM-side in DECIMAL
+    arithmetic (exact, and exactly reproducible in the DuckDB oracle's
+    HUGEINT arithmetic)."""
+    if sh is None:
+        sh = shingles(docs)
+    based = sh.withColumn("x", _hash64(F.col("shingle")))
     ks = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
-    expanded = sh.select("doc_id", "shingle", ks)
-    hashed = expanded.withColumn(
-        "h", _hash64(F.concat_ws(":", F.col("i"), F.col("shingle"))))
+    expanded = based.select("doc_id", "x", ks)
+    h = F.pmod(
+        (F.col("i") * 2 + 3).cast("decimal(3,0)") * F.col("x")
+        + (F.col("i") * F.col("i") + 1),
+        F.lit(MERSENNE_61).cast("decimal(20,0)"))
+    hashed = expanded.withColumn("h", h.cast("decimal(20,0)"))
     return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
 
 
@@ -126,7 +138,8 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     candidate join; verify join — each keyed, AQE-coalesced.
     """
     rows = k // bands
-    sigs = minhash_signatures(docs, k)
+    sh = shingles(docs).cache()  # reused by signatures AND verify
+    sigs = minhash_signatures(docs, k, sh=sh)
     banded = (sigs.withColumn("band", (F.col("i") / rows).cast("int"))
               .groupBy("doc_id", "band")
               .agg(F.md5(F.concat_ws(",", F.sort_array(
@@ -140,8 +153,25 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
-    exact = ngram_jaccard_pairs(docs, threshold=0.0)
-    return (cand.join(exact, ["doc_a", "doc_b"], "inner")
+    # exact-Jaccard verification restricted to CANDIDATES only — the whole
+    # point of LSH: the O(n²) shingle self-join never materializes.
+    # Candidate set is tiny → broadcast both restriction joins.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"),
+                     F.col("shingle").alias("sh_a"))
+    sh_b = sh.select(F.col("doc_id").alias("_db"),
+                     F.col("shingle").alias("sh_b"))
+    inter = (sh_a.join(F.broadcast(cand), "doc_a")
+             .join(sh_b, (F.col("doc_b") == F.col("_db")) &
+                   (F.col("sh_a") == F.col("sh_b")))
+             .groupBy("doc_a", "doc_b")
+             .agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (inter.join(F.broadcast(sa), "doc_a")
+            .join(F.broadcast(sb), "doc_b")
+            .withColumn("jaccard", F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
             .filter(F.col("jaccard") >= threshold)
             .select("doc_a", "doc_b", "jaccard"))
 
@@ -163,7 +193,9 @@ sh AS (
   WHERE len(toks) >= {n}
 ),
 sigs AS (
-  SELECT doc_id, i, min(md5_number_lower(i::VARCHAR || ':' || shingle)::DECIMAL(20,0)) AS sig
+  SELECT doc_id, i,
+         min(((2*i + 3)::HUGEINT * md5_number_lower(shingle)::HUGEINT
+              + (i*i + 1)) % {MERSENNE_61}) AS sig
   FROM sh, LATERAL UNNEST(generate_series(0, {k - 1})) AS t(i)
   GROUP BY doc_id, i
 ),

@@ -1,0 +1,95 @@
+"""Fuzz layer (reference layer 4, rdf/fuzz_decode_test.go): parsers must
+never raise anything but the quarantine contract on arbitrary input —
+no crashes, no hangs, no foreign exceptions."""
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from rdf_go_spark.parsers.detect import detect_format, parse_any
+from rdf_go_spark.parsers.jsonld import parse_jsonld
+from rdf_go_spark.parsers.ntriples import parse_document
+from rdf_go_spark.parsers.rdfxml import parse_rdfxml
+from rdf_go_spark.parsers.trig import parse_trig
+from rdf_go_spark.parsers.turtle import parse_turtle
+
+TEXT = st.text(max_size=400)
+RDFISH = st.text(
+    alphabet=st.sampled_from(list(
+        "<>\"'@._:;,(){}[]|^~#\\ \t\n\rabceghilmnoprstux0123456789éא𐀀")),
+    max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT | RDFISH)
+def test_fuzz_ntriples(s):
+    stmts, errs = parse_document(s)
+    assert isinstance(stmts, list) and isinstance(errs, list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT | RDFISH)
+def test_fuzz_nquads(s):
+    parse_document(s, quads=True)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT | RDFISH)
+def test_fuzz_turtle(s):
+    stmts, errs = parse_turtle(s)
+    assert isinstance(stmts, list)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT | RDFISH)
+def test_fuzz_trig(s):
+    parse_trig(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT | RDFISH)
+def test_fuzz_jsonld(s):
+    parse_jsonld(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT | RDFISH)
+def test_fuzz_rdfxml(s):
+    parse_rdfxml(s)
+
+
+@settings(max_examples=150, deadline=None)
+@given(TEXT | RDFISH)
+def test_fuzz_detect_and_parse_any(s):
+    fmt = detect_format(s)
+    assert fmt in (None, "turtle", "trig", "ntriples", "nquads",
+                   "rdfxml", "jsonld")
+    stmts, errs, used = parse_any(s)
+    assert isinstance(stmts, list)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=120))
+def test_fuzz_unescape_never_foreign_exceptions(s):
+    from rdf_go_spark.terms import ParseError, unescape_string
+    try:
+        unescape_string(s)
+    except ParseError:
+        pass  # the only allowed failure
+
+
+def test_deep_nesting_is_bounded():
+    """MaxDepth guard (rdf/decoder_options.go): deeply nested structures
+    must error, not blow the stack."""
+    deep_ttl = "@prefix e: <http://e/> . e:s e:p " + "[ e:q " * 300 + \
+        "e:o" + " ]" * 300 + " ."
+    stmts, errs = parse_turtle(deep_ttl)
+    assert errs and errs[0].code in ("ERR_DEPTH", "ERR_SYNTAX")
+
+    deep_star = "@prefix e: <http://e/> . " + "<< " * 200 + \
+        "e:s e:p e:o" + " >>" * 200 + " e:q e:r ."
+    stmts, errs = parse_turtle(deep_star)
+    assert errs
+
+    deep_json = '{"@id":"http://e/s","@graph":' * 150 + "{}" + "}" * 150
+    stmts, errs = parse_jsonld(deep_json)
+    assert errs
