@@ -34,17 +34,21 @@ from ..terms import (
 
 
 class _Context:
-    __slots__ = ("prefixes", "vocab", "base")
+    __slots__ = ("prefixes", "vocab", "base", "coercions", "containers")
 
     def __init__(self, base: str = ""):
         self.prefixes: dict[str, str] = {}
         self.vocab = ""
         self.base = base
+        self.coercions: dict[str, str] = {}   # term -> @type coercion
+        self.containers: dict[str, str] = {}  # term -> @container
 
     def child(self) -> "_Context":
         c = _Context(self.base)
         c.prefixes = dict(self.prefixes)
         c.vocab = self.vocab
+        c.coercions = dict(self.coercions)
+        c.containers = dict(self.containers)
         return c
 
     def with_context(self, raw) -> "_Context":
@@ -61,8 +65,13 @@ class _Context:
                         c.base = value
                 elif isinstance(value, str):
                     c.prefixes[key] = value
-                elif isinstance(value, dict) and isinstance(value.get("@id"), str):
-                    c.prefixes[key] = value["@id"]
+                elif isinstance(value, dict):
+                    if isinstance(value.get("@id"), str):
+                        c.prefixes[key] = value["@id"]
+                    if isinstance(value.get("@type"), str):
+                        c.coercions[key] = value["@type"]
+                    if isinstance(value.get("@container"), str):
+                        c.containers[key] = value["@container"]
             return c
         if isinstance(raw, list):
             for item in raw:
@@ -91,11 +100,33 @@ class _Context:
             return resolve_iri(self.base, value)
         return value
 
+    def expand_id(self, value: str, _depth: int = 0) -> str:
+        """@id / node-reference expansion: document-relative (base), never
+        @vocab (JSON-LD 1.1 §IRI expansion with document-relative=true)."""
+        if _depth < 5:
+            ns = self.prefixes.get(value)
+            if ns is not None and ns != value and ":" in ns:
+                return self.expand_id(ns, _depth + 1)
+        if ":" in value:
+            prefix, rest = value.split(":", 1)
+            ns = self.prefixes.get(prefix)
+            if ns is not None:
+                return ns + rest
+            return value
+        if self.base:
+            return resolve_iri(self.base, value)
+        return value
+
 
 class JsonLdDecoder:
     def __init__(self, base: str = "",
                  bnode_factory: Optional[Callable[[], BlankNode]] = None,
-                 max_nodes: int = 0, max_depth: int = 100):
+                 max_nodes: int = 0, max_depth: int = 100,
+                 strict_ids: bool = False):
+        # strict_ids=True reproduces the reference streaming decoder's
+        # node-missing-@id error (rdf/jsonld.go:714-729); the default
+        # follows the JSON-LD spec and mints a fresh blank node
+        self.strict_ids = strict_ids
         self.base = base
         self.max_nodes = max_nodes
         self.max_depth = max_depth
@@ -163,7 +194,8 @@ class JsonLdDecoder:
             pred_iri = ctx.expand(key)
             if not pred_iri:
                 raise ParseError(f"jsonld: cannot resolve predicate {key!r}")
-            self.emit_value(subject, IRI(pred_iri), raw, ctx, graph_name, depth)
+            self.emit_value(subject, IRI(pred_iri), raw, ctx, graph_name,
+                            depth, term=key)
         raw_types = node.get("@type")
         if raw_types is not None:
             types = raw_types if isinstance(raw_types, list) else [raw_types]
@@ -173,15 +205,18 @@ class JsonLdDecoder:
                                            IRI(ctx.expand(t)), graph_name))
         if "@graph" in node:
             self.parse_graph(node["@graph"], ctx, subject, depth + 1)
+        return subject
 
     def subject_term(self, raw, ctx: _Context) -> Term:
         if raw is None:
-            raise ParseError("jsonld: node missing @id")
+            if self.strict_ids:
+                raise ParseError("jsonld: node missing @id")
+            return self.new_bnode()
         if not isinstance(raw, str):
             raise ParseError(f"jsonld: node @id must be string, got {type(raw).__name__}")
         if raw.startswith("_:"):
             return BlankNode(raw[2:])
-        expanded = ctx.expand(raw)
+        expanded = ctx.expand_id(raw)
         if not expanded:
             raise ParseError(f"jsonld: node missing @id (failed to expand {raw!r})")
         return IRI(expanded)
@@ -189,7 +224,7 @@ class JsonLdDecoder:
     def object_from_id(self, id_value: str, ctx: _Context) -> Term:
         if id_value.startswith("_:"):
             return BlankNode(id_value[2:])
-        return IRI(ctx.expand(id_value))
+        return IRI(ctx.expand_id(id_value))
 
     @staticmethod
     def literal_value(value) -> Literal:
@@ -204,17 +239,42 @@ class JsonLdDecoder:
         return Literal(str(value))
 
     def emit_value(self, subject: Term, pred: IRI, raw, ctx: _Context,
-                   graph_name: Optional[Term], depth: int) -> None:
+                   graph_name: Optional[Term], depth: int,
+                   term: str = "") -> None:
         if depth >= self.max_depth:
             raise ParseError("jsonld: max depth exceeded", code="ERR_DEPTH")
+        if raw is None:
+            return  # null values are ignored (JSON-LD expansion)
+        container = ctx.containers.get(term, "")
         if isinstance(raw, list):
+            if container == "@list":
+                head = self.emit_list(raw, ctx, graph_name, depth)
+                self.quads.append(Quad(subject, pred, head, graph_name))
+                return
             for item in raw:
-                self.emit_value(subject, pred, item, ctx, graph_name, depth + 1)
+                self.emit_value(subject, pred, item, ctx, graph_name,
+                                depth + 1, term=term)
             return
         if isinstance(raw, dict):
+            if "@set" in raw:
+                self.emit_value(subject, pred, raw["@set"], ctx, graph_name,
+                                depth + 1, term=term)
+                return
             self.emit_object_value(subject, pred, raw, ctx, graph_name, depth)
             return
         if isinstance(raw, str):
+            coercion = ctx.coercions.get(term, "")
+            if coercion == "@id" or coercion == "@vocab":
+                obj = (IRI(ctx.expand(raw)) if coercion == "@vocab"
+                       else self.object_from_id(raw, ctx))
+                self.quads.append(Quad(subject, pred, obj, graph_name))
+                return
+            if coercion and not coercion.startswith("@"):
+                self.quads.append(
+                    Quad(subject, pred,
+                         Literal(raw, datatype=ctx.expand(coercion)),
+                         graph_name))
+                return
             self.quads.append(Quad(subject, pred, Literal(raw), graph_name))
             return
         if isinstance(raw, (bool, int, float)):
@@ -227,12 +287,25 @@ class JsonLdDecoder:
                           ctx: _Context, graph_name: Optional[Term],
                           depth: int) -> None:
         id_value = value.get("@id")
-        if isinstance(id_value, str):
+        node_keys = [k for k in value
+                     if k not in ("@id", "@context", "@index") and
+                     not (k == "@type" and False)]
+        is_node_object = any(not k.startswith("@") or k in ("@type", "@graph")
+                             for k in value) and "@value" not in value             and "@list" not in value
+        if isinstance(id_value, str) and not is_node_object:
             self.quads.append(
                 Quad(subject, pred, self.object_from_id(id_value, ctx),
                      graph_name))
             return
+        if is_node_object or (id_value is None and "@value" not in value
+                              and "@list" not in value and "@set" not in value):
+            # nested node object: recurse, link to its subject
+            child = self.parse_node(value, ctx, graph_name, depth + 1)
+            self.quads.append(Quad(subject, pred, child, graph_name))
+            return
         if "@value" in value:
+            if value["@value"] is None:
+                return
             lit = self.literal_value(value["@value"])
             lang = value.get("@language")
             dtype = value.get("@type")

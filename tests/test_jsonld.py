@@ -22,13 +22,41 @@ TORDF = "/root/reference/w3c-tests/jsonld/toRdf"
 
 # cases the streaming subset reproduces exactly (graph-isomorphic)
 SUBSET_WHITELIST = [
-    "0001-in.jsonld", "0002-in.jsonld", "0006-in.jsonld", "0007-in.jsonld",
-    "0012-in.jsonld", "0013-in.jsonld", "0014-in.jsonld", "0015-in.jsonld",
-    "0016-in.jsonld", "0017-in.jsonld", "0018-in.jsonld", "0030-in.jsonld",
-    "0036-in.jsonld", "0113-in.jsonld", "0114-in.jsonld", "0115-in.jsonld",
-    "0116-in.jsonld", "e001-in.jsonld", "e040-in.jsonld", "e070-in.jsonld",
-    "e129-in.jsonld", "e130-in.jsonld", "li01-in.jsonld", "li02-in.jsonld",
-    "pr41-in.jsonld",
+    "0001-in.jsonld", "0002-in.jsonld", "0003-in.jsonld",
+    "0004-in.jsonld", "0005-in.jsonld", "0006-in.jsonld",
+    "0007-in.jsonld", "0008-in.jsonld", "0009-in.jsonld",
+    "0010-in.jsonld", "0011-in.jsonld", "0012-in.jsonld",
+    "0013-in.jsonld", "0014-in.jsonld", "0015-in.jsonld",
+    "0016-in.jsonld", "0017-in.jsonld", "0018-in.jsonld",
+    "0019-in.jsonld", "0020-in.jsonld", "0024-in.jsonld",
+    "0025-in.jsonld", "0026-in.jsonld", "0028-in.jsonld",
+    "0030-in.jsonld", "0032-in.jsonld", "0033-in.jsonld",
+    "0034-in.jsonld", "0036-in.jsonld", "0113-in.jsonld",
+    "0114-in.jsonld", "0115-in.jsonld", "0116-in.jsonld",
+    "0120-in.jsonld", "0121-in.jsonld", "0122-in.jsonld",
+    "0123-in.jsonld", "0124-in.jsonld", "0125-in.jsonld",
+    "0126-in.jsonld", "0127-in.jsonld", "0128-in.jsonld",
+    "0129-in.jsonld", "0130-in.jsonld", "0131-in.jsonld",
+    "0132-in.jsonld", "c009-in.jsonld", "c027-in.jsonld",
+    "c036-in.jsonld", "di01-in.jsonld", "di03-in.jsonld",
+    "e001-in.jsonld", "e005-in.jsonld", "e007-in.jsonld",
+    "e009-in.jsonld", "e011-in.jsonld", "e012-in.jsonld",
+    "e015-in.jsonld", "e019-in.jsonld", "e020-in.jsonld",
+    "e024-in.jsonld", "e025-in.jsonld", "e026-in.jsonld",
+    "e028-in.jsonld", "e033-in.jsonld", "e040-in.jsonld",
+    "e045-in.jsonld", "e050-in.jsonld", "e053-in.jsonld",
+    "e054-in.jsonld", "e055-in.jsonld", "e057-in.jsonld",
+    "e058-in.jsonld", "e069-in.jsonld", "e070-in.jsonld",
+    "e071-in.jsonld", "e072-in.jsonld", "e073-in.jsonld",
+    "e074-in.jsonld", "e113-in.jsonld", "e129-in.jsonld",
+    "e130-in.jsonld", "li01-in.jsonld", "li02-in.jsonld",
+    "li03-in.jsonld", "li04-in.jsonld", "p001-in.jsonld",
+    "p002-in.jsonld", "p003-in.jsonld", "p004-in.jsonld",
+    "pr02-in.jsonld", "pr10-in.jsonld", "pr13-in.jsonld",
+    "pr14-in.jsonld", "pr15-in.jsonld", "pr24-in.jsonld",
+    "pr34-in.jsonld", "pr35-in.jsonld", "pr37-in.jsonld",
+    "pr39-in.jsonld", "pr41-in.jsonld", "so08-in.jsonld",
+    "so09-in.jsonld", "so11-in.jsonld",
 ]
 
 
@@ -113,9 +141,18 @@ class TestSubsetSemantics:
         q = _one('{"@context":{"ex":"http://e/"},"@id":"_:x","ex:p":{"@id":"_:y"}}')
         assert str(q[0].s) == "_:x" and str(q[0].o) == "_:y"
 
-    def test_missing_id_errors(self):
-        _, errs = parse_jsonld('{"http://e/p":"v"}')
-        assert errs
+    def test_missing_id_gets_bnode(self):
+        # spec behavior (default): fresh blank node subject
+        q, errs = parse_jsonld('{"http://e/p":"v"}')
+        assert not errs and str(q[0].s).startswith("_:")
+
+    def test_missing_id_errors_in_strict_mode(self):
+        # reference streaming-decoder behavior (rdf/jsonld.go:714-729)
+        from rdf_go_spark.parsers.jsonld import JsonLdDecoder
+        from rdf_go_spark.terms import ParseError
+        import pytest as _pytest
+        with _pytest.raises(ParseError):
+            JsonLdDecoder(strict_ids=True).parse('{"http://e/p":"v"}')
 
     def test_invalid_json_errors(self):
         _, errs = parse_jsonld("{not json")
