@@ -114,6 +114,8 @@ def _analytics_queries():
         "top_customers": A.q_top_customers,
         "events_user_stats": A.q_events_user_stats,
         "sessionize_events": A.q_sessionize_events,
+        "orders_without_lineitems": A.q_orders_without_lineitems,
+        "repeat_buyers": A.q_repeat_buyers,
     }
 
 
@@ -164,6 +166,8 @@ def _build_oracles() -> dict[str, str]:
         "top_customers": A.q_top_customers_oracle(),
         "events_user_stats": A.q_events_user_stats_oracle(),
         "sessionize_events": A.q_sessionize_events_oracle(),
+        "orders_without_lineitems": A.q_orders_without_lineitems_oracle(),
+        "repeat_buyers": A.q_repeat_buyers_oracle(),
         # emb_lsh_ann: pseudo-random hyperplanes — no SQL oracle;
         # recall vs brute force is asserted in tests/test_training_ops.py
     })

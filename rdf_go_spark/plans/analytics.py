@@ -114,6 +114,52 @@ FROM g GROUP BY user_id
 """.strip()
 
 
+def q_orders_without_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join — the checkpoint-resume primitive ("partitions not yet
+    committed", SURVEY.md §2.4): orders with no lineitem rows."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey").distinct()
+    return (orders.join(li, orders["o_orderkey"] == li["l_orderkey"],
+                        "left_anti")
+            .select("o_orderkey", "o_custkey", "o_orderstatus"))
+
+
+def q_orders_without_lineitems_oracle() -> str:
+    return """
+SELECT o_orderkey, o_custkey, o_orderstatus
+FROM orders
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+""".strip()
+
+
+def q_repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set op (intersect): customers ordering in both halves of the
+    window, plus a semi-join back to customer attributes."""
+    orders = _t(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("2001-01-01")) \
+        .select("o_custkey")
+    late = orders.filter(F.col("o_orderdate") >= F.lit("2001-01-01")) \
+        .select("o_custkey")
+    both = early.intersect(late)
+    customer = _t(spark, sf_dir, "customer")
+    return (customer.join(both,
+                          customer["c_custkey"] == both["o_custkey"],
+                          "left_semi")
+            .select("c_custkey", "c_name", "c_mktsegment"))
+
+
+def q_repeat_buyers_oracle() -> str:
+    return """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE c_custkey IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+)
+""".strip()
+
+
 def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: 30-min-gap session ids via window cumsum — the
     standard stateful-stream shape expressed in batch."""

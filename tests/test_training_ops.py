@@ -24,7 +24,8 @@ TRAINING_QUERIES = [
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "emb_cosine_topk", "emb_label_centroids",
     "media_metadata", "pricing_summary", "top_customers",
-    "events_user_stats", "sessionize_events",
+    "events_user_stats", "sessionize_events", "orders_without_lineitems",
+    "repeat_buyers",
 ]
 
 
