@@ -129,6 +129,16 @@ def _q_rdf_parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdf_parse_multiformat(spark, sf_dir)
 
 
+def _q_kg_canonical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization stage idempotence: re-canonicalizing the (already
+    canonical) graph must reproduce it exactly — the oracle is the
+    kg_triples oracle itself."""
+    from rdf_go_spark.operators.canonicalize import (
+        canonical_only, canonicalize_triples,
+    )
+    return canonical_only(canonicalize_triples(kg_triples(spark, sf_dir)))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": _q_kg_triples,
     "kg_conversation_stats": _q_kg_conversation_stats,
@@ -136,6 +146,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_turn_text_roundtrip": _q_kg_turn_text_roundtrip,
     "kg_export_ntriples": _q_kg_export_ntriples,
     "rdf_parse_multiformat": _q_rdf_parse_multiformat,
+    "kg_canonical_roundtrip": _q_kg_canonical_roundtrip,
     **_training_data_queries(),
     **_analytics_queries(),
 }

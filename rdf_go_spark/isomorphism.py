@@ -115,3 +115,27 @@ def find_bnode_mapping(a: Sequence[Quad], b: Sequence[Quad]
 
 def isomorphic(a: Sequence[Quad], b: Sequence[Quad]) -> bool:
     return find_bnode_mapping(a, b) is not None
+
+
+def canonical_labels(quads: Sequence[Quad]) -> Dict[str, str]:
+    """Deterministic bnode relabeling ``c0, c1, …`` by sorted first
+    occurrence in the anonymized-then-sorted quad rendering — the
+    reference's sorted-relabel trick (rdf/jsonld_api.go:319-352), used for
+    P/R scoring up to relabeling without full canonicalization.
+
+    Not a graph canonicalization (co-occurring symmetric bnodes can tie);
+    ties broken by local signature then original label, which is stable
+    for the deterministic pipelines here."""
+    ids = bnode_ids(quads)
+    keyed = []
+    for bid in ids:
+        sig = tuple(sorted(_bnode_local_sig(quads, bid).items()))
+        keyed.append((sig, bid))
+    keyed.sort()
+    return {bid: f"c{i}" for i, (_sig, bid) in enumerate(keyed)}
+
+
+def relabel(quads: Sequence[Quad], mapping: Dict[str, str]) -> List[str]:
+    """Render quads with bnode labels replaced; sorted line list."""
+    full = dict(mapping)
+    return sorted(_quad_sig(q, full) for q in quads)

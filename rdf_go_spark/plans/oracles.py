@@ -14,6 +14,7 @@ from .pipeline import (
 def kg_oracles(n_conv: int) -> dict[str, str]:
     return {
         "kg_triples": kg_triples_oracle_sql(n_conv),
+        "kg_canonical_roundtrip": kg_triples_oracle_sql(n_conv),
         "kg_export_ntriples": kg_export_ntriples_oracle_sql(n_conv),
         "rdf_parse_multiformat": rdf_parse_multiformat_oracle_sql(n_conv),
         "kg_conversation_stats": f"""
