@@ -55,6 +55,67 @@ def windowed_turn_metrics(transcripts: DataFrame,
                     "role", "n_turns", "n_convs"))
 
 
+def conversation_state_assembly(transcripts: DataFrame,
+                                timeout_minutes: int | None = 120) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-conversation accumulation of turns, emitting a running snapshot
+    per update; idle conversations are evicted after ``timeout_minutes``
+    (bounded state). Pass ``timeout_minutes=None`` for drain-style
+    ``availableNow`` runs — processing-time timeouts keep scheduling
+    batches forever under availableNow, so finite drains must use
+    NoTimeout.
+    """
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    output_schema = ("conv_id string, n_turns long, n_user long, "
+                     "n_assistant long, n_tool long, text_sha string")
+    state_schema = ("n_turns long, n_user long, n_assistant long, "
+                    "n_tool long, digest string")
+
+    def assemble(key, pdf_iter, state):
+        conv_id = key[0]
+        if state.hasTimedOut:
+            # idle conversation: drop state; snapshots were already emitted
+            state.remove()
+            return
+        if state.exists:
+            n, nu, na, nt, digest = state.get
+        else:
+            n, nu, na, nt, digest = 0, 0, 0, 0, ""
+        h = hashlib.sha256(digest.encode())
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("turn_idx")
+            n += len(pdf)
+            nu += int((pdf["role"] == "user").sum())
+            na += int((pdf["role"] == "assistant").sum())
+            nt += int((pdf["role"] == "tool").sum())
+            for t in pdf["text"]:
+                h.update(str(t).encode())
+        digest = h.hexdigest()[:16]
+        state.update((n, nu, na, nt, digest))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        # emit a running snapshot per update (append-mode friendly; a
+        # later batch with more turns emits a newer snapshot)
+        yield pd.DataFrame({"conv_id": [conv_id], "n_turns": [n],
+                            "n_user": [nu], "n_assistant": [na],
+                            "n_tool": [nt], "text_sha": [digest]})
+
+    timeout_conf = (GroupStateTimeout.ProcessingTimeTimeout
+                    if timeout_minutes is not None
+                    else GroupStateTimeout.NoTimeout)
+    return (transcripts
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                assemble, outputStructType=output_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=timeout_conf))
+
+
 def run_availablenow(stream_df: DataFrame, checkpoint: str,
                      query_name: str) -> None:
     """Drain everything currently available into a memory sink and stop —

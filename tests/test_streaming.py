@@ -85,3 +85,47 @@ class TestStreamingPipeline:
         dupes = (result.groupBy("conv_id", "turn_idx", "subj", "pred", "obj")
                  .count().filter(F.col("count") > 1).count())
         assert dupes == 0
+
+
+class TestStatefulAssembly:
+    def test_conversation_state_assembly(self, spark, transcript_dir, tmp_path):
+        """applyInPandasWithState custom operator: per-conversation running
+        snapshots; final snapshot per conversation must match the batch
+        aggregate exactly."""
+        import hashlib
+
+        from rdf_go_spark.streaming.pipeline import (
+            conversation_state_assembly, stream_transcripts,
+        )
+        q = (conversation_state_assembly(
+                stream_transcripts(spark, transcript_dir),
+                timeout_minutes=None)
+             .writeStream.format("memory").queryName("conv_state")
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+             .trigger(availableNow=True).start())
+        assert q.awaitTermination(300)
+        # multiple snapshots per conversation are possible if its turns
+        # span micro-batches; the final one has the max turn count
+        got = {}
+        for r in spark.sql("select * from conv_state").collect():
+            if r.conv_id not in got or r.n_turns > got[r.conv_id].n_turns:
+                got[r.conv_id] = r
+
+        batch = spark.read.parquet(transcript_dir).orderBy(
+            "conv_id", "turn_idx").collect()
+        expected = {}
+        for r in batch:
+            st = expected.setdefault(
+                r.conv_id, {"n": 0, "user": 0, "assistant": 0, "tool": 0,
+                            "h": hashlib.sha256(b"")})
+            st["n"] += 1
+            st[r.role] += 1
+            st["h"].update(r.text.encode())
+        assert set(got) == set(expected)
+        for conv_id, st in expected.items():
+            row = got[conv_id]
+            assert row.n_turns == st["n"]
+            assert (row.n_user, row.n_assistant, row.n_tool) == \
+                (st["user"], st["assistant"], st["tool"])
+            assert row.text_sha == st["h"].hexdigest()[:16]
