@@ -101,6 +101,7 @@ def _training_data_queries():
         # similarity search
         "emb_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "emb_lsh_ann": lambda s, d: similarity.lsh_ann_topk(_emb(s, d)),
+        "emb_ivf_ann": lambda s, d: similarity.ivf_ann_topk(_emb(s, d)),
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # multimodal plumbing
         "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
@@ -147,6 +148,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_export_ntriples": _q_kg_export_ntriples,
     "rdf_parse_multiformat": _q_rdf_parse_multiformat,
     "kg_canonical_roundtrip": _q_kg_canonical_roundtrip,
+    "rdf_parse_quarantine": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .rdf_parse_quarantine(s, d)),
+    "kg_partition_metrics": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_partition_metrics(s, d)),
     **_training_data_queries(),
     **_analytics_queries(),
 }

@@ -152,6 +152,69 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
+                 nlist: int = 10, nprobe: int = 3) -> DataFrame:
+    """IVF-style ANN: coarse quantization into ``nlist`` cells, query
+    probes the ``nprobe`` nearest cells, exact cosine within probed cells.
+
+    Cell centroids are derived deterministically from the data itself
+    (per-label means — a stand-in for k-means; on a real corpus run a few
+    Lloyd iterations on a sample and broadcast the table). All joins are
+    bucket-equi with a broadcast centroid table — the cross product never
+    materializes (the IVF scale property).
+    """
+    emb = embeddings.select(
+        "vec_id", "label",
+        F.col("embedding").cast("array<double>").alias("e"))
+    # centroid table (tiny) — collect + rebroadcast as literal arrays
+    cent_rows = (emb.select("label", F.posexplode("e").alias("dim", "val"))
+                 .groupBy("label", "dim").agg(F.avg("val").alias("c"))
+                 .groupBy("label")
+                 .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                      .getField("c").alias("centroid"))
+                 .collect())
+    spark = embeddings.sparkSession
+    cents = spark.createDataFrame(
+        [(int(r.label) % nlist, [float(x) for x in r.centroid])
+         for r in cent_rows], "cell int, centroid array<double>")
+
+    def _dist(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    # assign every vector to its nearest cell
+    assigned = (emb.crossJoin(F.broadcast(cents))
+                .withColumn("d", _dist(F.col("e"), F.col("centroid"))))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
+                                                    F.col("cell").asc())
+    cells = (assigned.withColumn("rn", F.row_number().over(w_assign))
+             .filter(F.col("rn") == 1)
+             .select("vec_id", "e", "cell"))
+    # queries probe their nprobe nearest cells
+    queries = (cells.filter(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("e").alias("q")))
+    probes = (queries.crossJoin(F.broadcast(cents))
+              .withColumn("d", _dist(F.col("q"), F.col("centroid"))))
+    w_probe = Window.partitionBy("query_id").orderBy(F.col("d").asc(),
+                                                     F.col("cell").asc())
+    probe_cells = (probes.withColumn("rn", F.row_number().over(w_probe))
+                   .filter(F.col("rn") <= nprobe)
+                   .select("query_id", "q", "cell"))
+    # search within probed cells only
+    joined = cells.join(F.broadcast(probe_cells), "cell") \
+        .filter(F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", F.col("vec_id").alias("neighbor_id"),
+        F.round(_cosine(F.col("q"), F.col("e")), 4).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine",
+                    F.col("rank").cast("int").alias("rank")))
+
+
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Per-label centroid: posexplode → groupBy(label, dim) → avg."""
     exploded = embeddings.select(

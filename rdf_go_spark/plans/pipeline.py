@@ -117,6 +117,69 @@ FROM fmts
 """.strip()
 
 
+def rdf_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine path end-to-end: every 4th document is deliberately
+    malformed (bad IRI / stray token / broken JSON); parse errors become
+    rows with error codes — never job failures. Oracle: pure arithmetic
+    over the corruption rule."""
+    from pyspark.sql import functions as F
+
+    from ..operators.parse_spark import parse_rdf_documents, quarantine_of
+    from ..sources.transcripts import n_conv_for_sf_dir
+
+    n = n_conv_for_sf_dir(sf_dir)
+    base = spark.range(0, n).select(
+        F.format_string("doc-%06d", F.col("id")).alias("doc_key"),
+        (F.col("id") % 4 == 3).alias("broken"),
+        (F.col("id") % 8 + 1).cast("int").alias("v"))
+    good = F.format_string(
+        "<http://example.org/s%d> <http://example.org/p> \"v\" .", F.col("v"))
+    bad = F.lit("<relative-iri> <also relative> garbage .")
+    docs = base.withColumn("text", F.when(F.col("broken"), bad).otherwise(good))
+    parsed = parse_rdf_documents(docs, fmt="ntriples")
+    return (quarantine_of(parsed)
+            .groupBy("error_code")
+            .agg(F.count("*").alias("n_errors"),
+                 F.count_distinct("doc_key").alias("n_docs")))
+
+
+def rdf_parse_quarantine_oracle_sql(n_conv: int) -> str:
+    return f"""
+SELECT 'ERR_SYNTAX' AS error_code,
+       count(*)::BIGINT AS n_errors,
+       count(*)::BIGINT AS n_docs
+FROM range(0, {n_conv}) r(i) WHERE i % 4 = 3
+""".strip()
+
+
+def kg_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition lineage metrics as a query (graph.py's metrics rows,
+    but keyed by the cross-engine-portable md5 bucket so DuckDB can
+    reproduce them; the store itself uses F.hash for speed)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import _hash64
+
+    t = kg_triples(spark, sf_dir)
+    bucketed = t.withColumn(
+        "part_id", F.pmod(_hash64(F.col("conv_id")), F.lit(16)).cast("int"))
+    return (bucketed.groupBy("part_id")
+            .agg(F.count("*").alias("n_rows"),
+                 F.count_distinct("subj").alias("n_subjects"),
+                 F.count_distinct("conv_id").alias("n_convs")))
+
+
+def kg_partition_metrics_oracle_sql(n_conv: int) -> str:
+    return f"""
+WITH base AS ({kg_triples_oracle_sql(n_conv)})
+SELECT (md5_number_lower(conv_id) % 16)::INT AS part_id,
+       count(*)::BIGINT AS n_rows,
+       count(DISTINCT subj)::BIGINT AS n_subjects,
+       count(DISTINCT conv_id)::BIGINT AS n_convs
+FROM base GROUP BY 1
+""".strip()
+
+
 def kg_triples_oracle_sql(n_conv: int) -> str:
     """Arithmetic oracle for ``kg_triples`` (DuckDB dialect)."""
     return f"""

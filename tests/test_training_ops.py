@@ -125,3 +125,19 @@ class TestPlanShape:
             .executedPlan().toString()
         assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or \
             "LessThanOrEqual(l_shipdate" in plan
+
+    def test_ivf_ann_recall_vs_brute_force(self, spark):
+        """IVF with nprobe=3 of nlist=10 cells on unstructured embeddings:
+        expect recall well above the nprobe/nlist floor and exact cosines
+        (never better than brute force)."""
+        from rdf_go_spark.operators.similarity import cosine_topk, ivf_ann_topk
+        emb = spark.read.parquet(f"{SMOKE}/embeddings.parquet")
+        brute = {(r.query_id, r.neighbor_id): r.cosine
+                 for r in cosine_topk(emb, n_queries=10, k=3).collect()}
+        ivf = {(r.query_id, r.neighbor_id): r.cosine
+               for r in ivf_ann_topk(emb, n_queries=10, k=3).collect()}
+        assert ivf
+        overlap = set(ivf) & set(brute)
+        assert len(overlap) / len(brute) >= 0.25
+        for pair in overlap:
+            assert abs(ivf[pair] - brute[pair]) < 1e-9
