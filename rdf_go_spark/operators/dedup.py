@@ -139,12 +139,28 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     """
     rows = k // bands
     sh = shingles(docs).cache()  # reused by signatures AND verify
-    sigs = minhash_signatures(docs, k, sh=sh)
-    banded = (sigs.withColumn("band", (F.col("i") / rows).cast("int"))
-              .groupBy("doc_id", "band")
-              .agg(F.md5(F.concat_ws(",", F.sort_array(
-                  F.collect_list(F.struct("i", "sig"))).getField("sig").cast("array<string>")))
-                   .alias("bucket")))
+    # wide signature aggregation: k min-columns over ONE base hash per
+    # shingle — no row explosion, map-side partial agg, single shuffle of
+    # 5k-wide rows instead of k x |shingles| rows
+    based = sh.withColumn("x", _hash64(F.col("shingle")))
+    p = F.lit(MERSENNE_61).cast("decimal(20,0)")
+    sig_cols = [
+        F.min(F.pmod(F.lit(2 * i + 3).cast("decimal(3,0)") * F.col("x")
+                     + F.lit(i * i + 1), p).cast("decimal(20,0)"))
+        .alias(f"sig{i}")
+        for i in range(k)
+    ]
+    wide = based.groupBy("doc_id").agg(*sig_cols)
+    band_cols = [
+        F.md5(F.concat_ws(",", *[
+            F.col(f"sig{b * rows + r}").cast("string") for r in range(rows)]))
+        .alias(f"band{b}")
+        for b in range(bands)
+    ]
+    wide_bands = wide.select("doc_id", *band_cols)
+    stack_expr = "stack({n}, {args}) as (band, bucket)".format(
+        n=bands, args=", ".join(f"{b}, band{b}" for b in range(bands)))
+    banded = wide_bands.select("doc_id", F.expr(stack_expr))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
