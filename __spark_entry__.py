@@ -154,6 +154,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_partition_metrics": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_partition_metrics(s, d)),
+    "kg_entity_link_scored": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_entity_link_scored(s, d)),
     **_training_data_queries(),
     **_analytics_queries(),
 }

@@ -35,8 +35,44 @@ def detect_mentions(transcripts: DataFrame) -> DataFrame:
             .filter(F.col("mention_norm") != "entity "))
 
 
+def detect_mentions_pandas(transcripts: DataFrame) -> DataFrame:
+    """Arrow-batched pandas-UDF variant of mention detection (the north
+    star's "vectorized pandas/Arrow UDFs perform batched mention
+    detection"): vectorized ``Series.str.extract`` over each batch.
+    Result-identical to the JVM-regex path (asserted in tests); the JVM
+    path remains the default because it needs no Python at all."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _extract(text):
+        hits = text.str.extract(r"entity ([0-9]+)", expand=False)
+        return ("entity " + hits).where(hits.notna(), None)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf can't resolve in local scope — attach real ones
+    _extract.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    extract_mention = pandas_udf(_extract, "string")
+
+    return (transcripts
+            .withColumn("mention_norm", extract_mention(F.col("text")))
+            .filter(F.col("mention_norm").isNotNull()))
+
+
 def link_broadcast(mentions: DataFrame, entities: DataFrame) -> DataFrame:
     return mentions.join(F.broadcast(entities), "mention_norm", "inner")
+
+
+def link_scored(mentions: DataFrame, candidates: DataFrame) -> DataFrame:
+    """Entity-link SCORING: when a mention has several candidate entities,
+    keep the argmax by (score_prior DESC, entity_iri ASC) per
+    (conv_id, turn_idx, mention) — broadcast candidate join + window
+    top-1, the disambiguation shape of the north star."""
+    from pyspark.sql import Window
+    joined = mentions.join(F.broadcast(candidates), "mention_norm", "inner")
+    w = Window.partitionBy("conv_id", "turn_idx", "mention_norm").orderBy(
+        F.col("score_prior").desc(), F.col("entity_iri").asc())
+    return (joined.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1).drop("rn"))
 
 
 def link_shuffle(mentions: DataFrame, entities: DataFrame) -> DataFrame:

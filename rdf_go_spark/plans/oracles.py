@@ -6,9 +6,9 @@ from __future__ import annotations
 
 from ..sources.transcripts import transcripts_sql
 from .pipeline import (
-    kg_export_ntriples_oracle_sql, kg_partition_metrics_oracle_sql,
-    kg_triples_oracle_sql, rdf_parse_multiformat_oracle_sql,
-    rdf_parse_quarantine_oracle_sql,
+    kg_entity_link_scored_oracle_sql, kg_export_ntriples_oracle_sql,
+    kg_partition_metrics_oracle_sql, kg_triples_oracle_sql,
+    rdf_parse_multiformat_oracle_sql, rdf_parse_quarantine_oracle_sql,
 )
 
 
@@ -20,6 +20,7 @@ def kg_oracles(n_conv: int) -> dict[str, str]:
         "rdf_parse_multiformat": rdf_parse_multiformat_oracle_sql(n_conv),
         "rdf_parse_quarantine": rdf_parse_quarantine_oracle_sql(n_conv),
         "kg_partition_metrics": kg_partition_metrics_oracle_sql(n_conv),
+        "kg_entity_link_scored": kg_entity_link_scored_oracle_sql(n_conv),
         "kg_conversation_stats": f"""
 WITH {transcripts_sql(n_conv)}
 SELECT conv_id,

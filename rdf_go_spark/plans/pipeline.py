@@ -117,6 +117,37 @@ FROM fmts
 """.strip()
 
 
+def kg_entity_link_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-link scoring with an ambiguous candidate dictionary: pick
+    the argmax-prior candidate per mention (north star: "batched mention
+    detection and entity-link scoring per turn-batch")."""
+    from pyspark.sql import functions as F
+
+    from ..operators.linking import detect_mentions, link_scored
+    from ..sources.transcripts import n_conv_for_sf_dir, synth_candidates, synth_transcripts
+
+    t = synth_transcripts(spark, n_conv_for_sf_dir(sf_dir))
+    best = link_scored(detect_mentions(t), synth_candidates(spark))
+    return best.select("conv_id", "turn_idx", "mention_norm",
+                       "entity_iri", "score_prior")
+
+
+def kg_entity_link_scored_oracle_sql(n_conv: int) -> str:
+    from ..sources.transcripts import candidates_sql, transcripts_sql
+    return f"""
+WITH {transcripts_sql(n_conv)},
+{candidates_sql()}
+SELECT conv_id, turn_idx,
+       printf('entity %d', k) AS mention_norm,
+       c.entity_iri, c.score_prior
+FROM transcripts t
+JOIN candidates c ON c.mention_norm = printf('entity %d', t.k)
+QUALIFY row_number() OVER (
+    PARTITION BY conv_id, turn_idx
+    ORDER BY c.score_prior DESC, c.entity_iri ASC) = 1
+""".strip()
+
+
 def rdf_parse_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quarantine path end-to-end: every 4th document is deliberately
     malformed (bad IRI / stray token / broken JSON); parse errors become

@@ -105,6 +105,41 @@ def synth_entities(spark: SparkSession, n_entities: int = N_ENTITIES) -> DataFra
     )
 
 
+def synth_candidates(spark: SparkSession,
+                     n_entities: int = N_ENTITIES) -> DataFrame:
+    """Ambiguous candidate dictionary for link SCORING: every mention has
+    a primary entity (prior 1 - k/n) and a decoy (prior (k mod 10)/20) —
+    for large k the decoy outranks the primary, so disambiguation is
+    non-trivial and arithmetically decidable (oracle-checkable)."""
+    base = spark.range(0, n_entities).select(
+        F.format_string("entity %d", F.col("id")).alias("mention_norm"),
+        F.col("id").alias("k"))
+    primary = base.select(
+        "mention_norm",
+        F.format_string(ENTITY_NS + "%d", F.col("k")).alias("entity_iri"),
+        F.round(1.0 - F.col("k") / n_entities, 6).alias("score_prior"))
+    decoy = base.select(
+        "mention_norm",
+        F.format_string("http://example.org/alt/%d", F.col("k")).alias("entity_iri"),
+        F.round((F.col("k") % 10) / 20.0, 6).alias("score_prior"))
+    return primary.unionByName(decoy)
+
+
+def candidates_sql(n_entities: int = N_ENTITIES) -> str:
+    return f"""
+candidates AS (
+  SELECT printf('entity %d', k) AS mention_norm,
+         printf('{ENTITY_NS}%d', k) AS entity_iri,
+         round(1.0 - k * 1.0 / {n_entities}, 6) AS score_prior
+  FROM range(0, {n_entities}) t(k)
+  UNION ALL
+  SELECT printf('entity %d', k),
+         printf('http://example.org/alt/%d', k),
+         round((k % 10) / 20.0, 6)
+  FROM range(0, {n_entities}) t(k)
+)""".strip()
+
+
 def transcripts_sql(n_conv: int) -> str:
     """DuckDB CTE reproducing ``synth_transcripts`` byte-for-byte.
 

@@ -95,3 +95,31 @@ class TestLinkStrategies:
         plan = link_salted(m, synth_entities(spark))._jdf.queryExecution() \
             .executedPlan().toString()
         assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+    def test_pandas_detector_matches_jvm(self, spark):
+        from rdf_go_spark.operators.linking import (
+            detect_mentions, detect_mentions_pandas,
+        )
+        from rdf_go_spark.sources.transcripts import synth_transcripts
+        t = synth_transcripts(spark, 100)
+        cols = ["conv_id", "turn_idx", "mention_norm"]
+        a = sorted(map(tuple, detect_mentions(t).select(cols).collect()))
+        b = sorted(map(tuple, detect_mentions_pandas(t).select(cols).collect()))
+        assert a == b and a
+
+    def test_link_scored_prefers_higher_prior(self, spark):
+        from rdf_go_spark.operators.linking import detect_mentions, link_scored
+        from rdf_go_spark.sources.transcripts import (
+            synth_candidates, synth_transcripts,
+        )
+        best = link_scored(detect_mentions(synth_transcripts(spark, 100)),
+                           synth_candidates(spark))
+        rows = best.collect()
+        assert rows
+        # for small k the primary (1 - k/100) must beat the decoy
+        for r in rows:
+            k = int(r.mention_norm.split()[-1])
+            if 1 - k / 100 > (k % 10) / 20:
+                assert "/e/" in r.entity_iri, r
+            elif 1 - k / 100 < (k % 10) / 20:
+                assert "/alt/" in r.entity_iri, r
