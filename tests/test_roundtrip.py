@@ -124,3 +124,45 @@ def test_w3c_graph_survives_all_formats(path):
     out_j = encode_jsonld(g)
     back_j, ej = parse_jsonld(out_j)
     assert not ej and isomorphic(g, list(set(back_j)))
+
+
+from hypothesis import given, settings, strategies as st
+
+_iri = st.from_regex(r"http://e/[A-Za-z0-9_]{1,10}", fullmatch=True)
+_lex = st.text(max_size=40)
+_lang = st.sampled_from(["en", "en-US", "de", "ar--rtl"])
+_term_obj = st.one_of(
+    _iri.map(IRI),
+    st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True).map(BlankNode),
+    _lex.map(Literal),
+    st.tuples(_lex, _lang).map(lambda t: Literal(t[0], lang=t[1])),
+    st.tuples(_lex, _iri).map(lambda t: Literal(t[0], datatype=t[1])),
+)
+_quad = st.builds(
+    Quad,
+    st.one_of(_iri.map(IRI),
+              st.from_regex(r"[A-Za-z][A-Za-z0-9]{0,8}", fullmatch=True)
+              .map(BlankNode)),
+    _iri.map(IRI),
+    _term_obj,
+    st.one_of(st.none(), _iri.map(IRI)),
+)
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(_quad, min_size=1, max_size=12))
+def test_property_nquads_roundtrip(quads):
+    """Any generated statement list survives encode→parse→encode exactly."""
+    enc = encode_nquads(quads)
+    back, errs = parse_document(enc, quads=True)
+    assert not errs, (errs[0], enc)
+    assert encode_nquads(back) == enc
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(_quad.filter(lambda q: q.g is None), min_size=1, max_size=8))
+def test_property_turtle_roundtrip_isomorphic(quads):
+    out = encode_turtle(quads)
+    back, errs = parse_turtle(out)
+    assert not errs, (errs[0], out)
+    assert isomorphic(list(set(quads)), list(set(back)))
