@@ -1,0 +1,747 @@
+"""JSON-LD full processor: expansion + deserialization to RDF.
+
+The reference exposes this as JSONLDProcessor backed by json-gold
+(rdf/jsonld_api.go:73-181); here it is a native implementation of the
+JSON-LD 1.1 expansion algorithm core and the "Deserialize JSON-LD to RDF"
+algorithm — including the SPEC numeric canonicalization (integer →
+xsd:integer, fraction/exponent → xsd:double with canonical "1.5E0"
+lexical form). This deliberately differs from the streaming decoder
+(parsers/jsonld.py), which preserves the reference's native-number →
+xsd:decimal quirk; the two coexist exactly as the reference's two APIs do.
+
+Out of scope (as for the reference without a DocumentLoader): remote
+contexts, framing, compaction.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import re
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+from ..terms import (
+    BlankNode, IRI, Literal, ParseError, Quad, Term,
+    RDF_FIRST, RDF_NIL, RDF_NS, RDF_REST, RDF_TYPE, XSD_BOOLEAN, XSD_DOUBLE,
+    XSD_INTEGER, XSD_STRING, resolve_iri,
+)
+
+KEYWORDS = {
+    "@base", "@container", "@context", "@direction", "@graph", "@id",
+    "@import", "@included", "@index", "@json", "@language", "@list",
+    "@nest", "@none", "@prefix", "@propagate", "@protected", "@reverse",
+    "@set", "@type", "@value", "@version", "@vocab",
+}
+
+_KW_RE = re.compile(r"^@[A-Za-z]+$")
+
+
+class _TermDef:
+    __slots__ = ("iri", "type_mapping", "container", "language", "reverse",
+                 "prefix_flag", "local_ctx")
+
+    def __init__(self, iri, type_mapping=None, container=None, language=None,
+                 reverse=False, prefix_flag=False, local_ctx=None):
+        self.iri = iri
+        self.type_mapping = type_mapping
+        self.container = container or []
+        self.language = language  # None = inherit; "" = @null
+        self.reverse = reverse
+        self.prefix_flag = prefix_flag
+        self.local_ctx = local_ctx  # term-scoped @context (w3c c0xx tests)
+
+
+class _Ctx:
+    def __init__(self, base: str = ""):
+        self.terms: Dict[str, _TermDef] = {}
+        self.base = base
+        self.vocab: Optional[str] = None
+        self.language: Optional[str] = None
+        self.previous: Optional["_Ctx"] = None  # set by type-scoped ctxs
+
+    def copy(self) -> "_Ctx":
+        c = _Ctx(self.base)
+        c.terms = dict(self.terms)
+        c.vocab = self.vocab
+        c.language = self.language
+        c.previous = self.previous
+        return c
+
+
+def _is_abs_iri(v: str) -> bool:
+    return ":" in v and not v.startswith("_:")
+
+
+def _is_keyword(v) -> bool:
+    return isinstance(v, str) and v in KEYWORDS
+
+
+class Expander:
+    def __init__(self, base: str = ""):
+        self.base = base
+
+    # ---- context processing ------------------------------------------
+
+    def process_context(self, active: _Ctx, local) -> _Ctx:
+        result = active.copy()
+        if local is None:
+            return _Ctx(self.base)
+        items = local if isinstance(local, list) else [local]
+        for item in items:
+            if item is None:
+                result = _Ctx(self.base)
+                continue
+            if isinstance(item, str):
+                # remote context — unsupported (no DocumentLoader)
+                continue
+            if not isinstance(item, dict):
+                raise ParseError("jsonld: invalid local context")
+            if "@base" in item:
+                v = item["@base"]
+                if v is None:
+                    result.base = ""
+                elif isinstance(v, str):
+                    result.base = resolve_iri(result.base, v) \
+                        if result.base and not _is_abs_iri(v) else v
+            if "@vocab" in item:
+                v = item["@vocab"]
+                if v is None:
+                    result.vocab = None
+                elif isinstance(v, str):
+                    result.vocab = self.expand_iri(result, v, vocab=True,
+                                                   doc_relative=True)
+            if "@language" in item:
+                v = item["@language"]
+                result.language = v.lower() if isinstance(v, str) else None
+            defined: Dict[str, bool] = {}
+            for key in item:
+                if key in ("@base", "@vocab", "@language", "@version",
+                           "@propagate", "@protected", "@import",
+                           "@direction"):
+                    continue
+                self.create_term(result, item, key, defined)
+        # a freshly processed (element- or property-scoped) context
+        # propagates by default — clear any inherited type-scope marker
+        result.previous = None
+        return result
+
+    def create_term(self, ctx: _Ctx, local: dict, term: str,
+                    defined: Dict[str, bool]) -> None:
+        if term in defined:
+            if defined[term]:
+                return
+            raise ParseError("jsonld: cyclic IRI mapping")
+        value = local.get(term)
+        if term == "@type":
+            # @type may be redefined with @container:@set (+@protected)
+            if isinstance(value, dict) and set(value) <= {
+                    "@container", "@protected"} and \
+                    value.get("@container") in ("@set", ["@set"], None):
+                defined[term] = True
+                return
+            raise ParseError("jsonld: keyword redefinition '@type'")
+        if _is_keyword(term) or term == "":
+            raise ParseError(f"jsonld: keyword redefinition {term!r}")
+        defined[term] = False
+        if value is None or (isinstance(value, dict) and
+                             value.get("@id") is None and "@id" in value):
+            ctx.terms[term] = _TermDef(None)
+            defined[term] = True
+            return
+        simple = False
+        if isinstance(value, str):
+            value = {"@id": value}
+            simple = True
+        if not isinstance(value, dict):
+            raise ParseError("jsonld: invalid term definition")
+        td = _TermDef(None)
+        if "@type" in value:
+            t = value["@type"]
+            if not isinstance(t, str):
+                raise ParseError("jsonld: invalid type mapping")
+            if t not in ("@id", "@vocab", "@json", "@none"):
+                t = self.expand_iri(ctx, t, vocab=True, local_ctx=local,
+                                    defined=defined)
+            td.type_mapping = t
+        if "@reverse" in value:
+            rv = value["@reverse"]
+            if not isinstance(rv, str):
+                raise ParseError("jsonld: invalid reverse mapping")
+            td.iri = self.expand_iri(ctx, rv, vocab=True, local_ctx=local,
+                                     defined=defined)
+            td.reverse = True
+        elif "@id" in value and value["@id"] != term:
+            idv = value["@id"]
+            if not isinstance(idv, str):
+                raise ParseError("jsonld: invalid IRI mapping")
+            td.iri = (idv if _is_keyword(idv) else
+                      self.expand_iri(ctx, idv, vocab=True, local_ctx=local,
+                                      defined=defined))
+        else:
+            # term with no explicit @id
+            if ":" in term:
+                prefix, suffix = term.split(":", 1)
+                if prefix in local and not defined.get(prefix, True):
+                    self.create_term(ctx, local, prefix, defined)
+                pdef = ctx.terms.get(prefix)
+                if pdef is not None and pdef.iri:
+                    td.iri = pdef.iri + suffix
+                else:
+                    td.iri = term
+            elif ctx.vocab:
+                td.iri = ctx.vocab + term
+            else:
+                raise ParseError(f"jsonld: invalid IRI mapping for {term!r}")
+        if "@container" in value:
+            c = value["@container"]
+            cs = c if isinstance(c, list) else [c]
+            td.container = [x for x in cs if isinstance(x, str)]
+        if "@language" in value:
+            lv = value["@language"]
+            td.language = lv.lower() if isinstance(lv, str) else ""
+        # "@direction" accepted and ignored (RDF output drops directions
+        # unless the rdfDirection option is set — w3c di0x expectations)
+        if "@context" in value:
+            td.local_ctx = value["@context"]
+        if "@prefix" in value:
+            td.prefix_flag = bool(value["@prefix"])
+        elif simple and td.iri and td.iri[-1] in ":/?#[]@" and ":" not in term:
+            td.prefix_flag = True
+        ctx.terms[term] = td
+        defined[term] = True
+
+    # ---- IRI expansion --------------------------------------------------
+
+    def expand_iri(self, ctx: _Ctx, value: Optional[str], vocab: bool = False,
+                   doc_relative: bool = False, local_ctx: Optional[dict] = None,
+                   defined: Optional[Dict[str, bool]] = None) -> Optional[str]:
+        if value is None or _is_keyword(value):
+            return value
+        if _KW_RE.match(value):
+            return None  # keyword-like → ignored
+        if local_ctx is not None and value in local_ctx and \
+                not (defined or {}).get(value, False):
+            self.create_term(ctx, local_ctx, value, defined or {})
+        td = ctx.terms.get(value)
+        if td is not None and (_is_keyword(td.iri) or (vocab and td.iri)):
+            return td.iri
+        if ":" in value:
+            prefix, suffix = value.split(":", 1)
+            if prefix == "_" or suffix.startswith("//"):
+                return value
+            if local_ctx is not None and prefix in local_ctx and \
+                    not (defined or {}).get(prefix, False):
+                self.create_term(ctx, local_ctx, prefix, defined or {})
+            pdef = ctx.terms.get(prefix)
+            if pdef is not None and pdef.iri and pdef.prefix_flag:
+                return pdef.iri + suffix
+            if _is_abs_iri(value):
+                return value
+        if vocab and ctx.vocab:
+            return ctx.vocab + value
+        if doc_relative and ctx.base:
+            return resolve_iri(ctx.base, value)
+        return value
+
+    # ---- expansion -------------------------------------------------------
+
+    def expand(self, ctx: _Ctx, active_prop: Optional[str], element,
+               depth: int = 0, inside_list: bool = False):
+        if depth > 60:
+            raise ParseError("jsonld: max depth exceeded", code="ERR_DEPTH")
+        if element is None:
+            return None
+        td = ctx.terms.get(active_prop) if active_prop else None
+        if isinstance(element, (str, int, float, bool)):
+            if active_prop is None or active_prop == "@graph":
+                return None
+            return self.expand_value(ctx, active_prop, element)
+        if isinstance(element, list):
+            in_list = inside_list or active_prop == "@list" or \
+                (td is not None and "@list" in td.container)
+            out = []
+            for item in element:
+                if in_list and isinstance(item, list):
+                    # list of lists (JSON-LD 1.1 li05-08): nested array →
+                    # inner list object; keep active_prop for coercion
+                    inner = self.expand(ctx, active_prop, item, depth + 1,
+                                        inside_list=True)
+                    if not isinstance(inner, list):
+                        inner = [inner] if inner is not None else []
+                    out.append({"@list": inner})
+                    continue
+                expanded = self.expand(ctx, active_prop, item, depth + 1)
+                if isinstance(expanded, list):
+                    out.extend(expanded)
+                elif expanded is not None:
+                    out.append(expanded)
+            if in_list and not inside_list and active_prop != "@list":
+                # array directly under a @list container IS the list
+                return {"@list": out}
+            return out
+        if not isinstance(element, dict):
+            raise ParseError("jsonld: invalid element")
+        # type-scoped contexts of an ANCESTOR node do not propagate into
+        # nested node objects (w3c c009): revert to the pre-type context
+        if ctx.previous is not None and "@value" not in element:
+            ctx = ctx.previous
+        if "@context" in element:
+            ctx = self.process_context(ctx, element["@context"])
+        # type-scoped contexts: term definitions of the node's @type values
+        # may carry their own @context (w3c c006, c007, …)
+        type_terms: List[str] = []
+        for k, v in element.items():
+            if self.expand_iri(ctx, k, vocab=True) == "@type":
+                for t in (v if isinstance(v, list) else [v]):
+                    if isinstance(t, str):
+                        type_terms.append(t)
+        pre_type_ctx = ctx
+        for t in sorted(type_terms):
+            ttd = ctx.terms.get(t)
+            if ttd is not None and ttd.local_ctx is not None:
+                ctx = self.process_context(ctx, ttd.local_ctx)
+        if ctx is not pre_type_ctx:
+            ctx.previous = pre_type_ctx
+        result: Dict[str, Any] = {}
+        nests: List[str] = []
+        for key in sorted(element.keys()):
+            value = element[key]
+            if key == "@context":
+                continue
+            expanded_prop = self.expand_iri(ctx, key, vocab=True)
+            if expanded_prop is None or \
+                    (":" not in expanded_prop and
+                     not _is_keyword(expanded_prop)):
+                continue
+            if _is_keyword(expanded_prop):
+                if expanded_prop == "@id":
+                    if not isinstance(value, str):
+                        raise ParseError("jsonld: invalid @id value")
+                    result["@id"] = self.expand_iri(ctx, value,
+                                                    doc_relative=True)
+                elif expanded_prop == "@type":
+                    vals = value if isinstance(value, list) else [value]
+                    types = []
+                    for v in vals:
+                        if not isinstance(v, str):
+                            raise ParseError("jsonld: invalid @type value")
+                        types.append(self.expand_iri(ctx, v, vocab=True,
+                                                     doc_relative=True))
+                    prev = result.get("@type", [])
+                    result["@type"] = prev + types
+                elif expanded_prop == "@graph":
+                    g = self.expand(ctx, "@graph", value, depth + 1)
+                    if not isinstance(g, list):
+                        g = [g] if g is not None else []
+                    result["@graph"] = g
+                elif expanded_prop == "@value":
+                    if value is not None and not isinstance(
+                            value, (str, int, float, bool)) and \
+                            result.get("@type") != "@json":
+                        if not isinstance(value, (dict, list)):
+                            raise ParseError("jsonld: invalid @value")
+                    result["@value"] = value
+                elif expanded_prop == "@language":
+                    if not isinstance(value, str):
+                        raise ParseError("jsonld: invalid @language")
+                    result["@language"] = value.lower()
+                elif expanded_prop == "@direction":
+                    result["@direction"] = value
+                elif expanded_prop == "@index":
+                    if not isinstance(value, str):
+                        raise ParseError("jsonld: invalid @index")
+                    result["@index"] = value
+                elif expanded_prop == "@list":
+                    if active_prop is None or active_prop == "@graph":
+                        continue
+                    # items keep the active property's coercion (w3c e023)
+                    lst = self.expand(ctx, active_prop, value, depth + 1,
+                                      inside_list=True)
+                    if not isinstance(lst, list):
+                        lst = [lst] if lst is not None else []
+                    result["@list"] = lst
+                elif expanded_prop == "@set":
+                    expanded = self.expand(ctx, active_prop, value, depth + 1)
+                    if isinstance(expanded, dict) and "@set" not in expanded:
+                        return expanded
+                    return expanded
+                elif expanded_prop == "@reverse":
+                    if not isinstance(value, dict):
+                        raise ParseError("jsonld: invalid @reverse value")
+                    rev = self.expand(ctx, "@reverse", value, depth + 1)
+                    if isinstance(rev, dict):
+                        target = result.setdefault("@reverse", {})
+                        for p, items in rev.items():
+                            if p.startswith("@"):
+                                continue
+                            target.setdefault(p, []).extend(
+                                items if isinstance(items, list) else [items])
+                elif expanded_prop == "@included":
+                    inc = self.expand(ctx, None, value, depth + 1)
+                    if not isinstance(inc, list):
+                        inc = [inc] if inc is not None else []
+                    result.setdefault("@included", []).extend(inc)
+                elif expanded_prop == "@nest":
+                    nests.append(key)
+                continue
+            ptd = ctx.terms.get(key)
+            container = ptd.container if ptd else []
+            # term-scoped context applies to this value's expansion
+            value_ctx = ctx
+            if ptd is not None and ptd.local_ctx is not None:
+                value_ctx = self.process_context(ctx, ptd.local_ctx)
+            ctx_saved = ctx
+            ctx = value_ctx
+            if ptd and ptd.type_mapping == "@json":
+                expanded_value: Any = [{"@value": value, "@type": "@json"}]
+            elif "@language" in container and isinstance(value, dict):
+                expanded_value = []
+                for lang in sorted(value.keys()):
+                    lv = value[lang]
+                    for item in (lv if isinstance(lv, list) else [lv]):
+                        if item is None:
+                            continue
+                        if not isinstance(item, str):
+                            raise ParseError("jsonld: invalid language map")
+                        ev = {"@value": item}
+                        if lang != "@none":
+                            ev["@language"] = lang.lower()
+                        expanded_value.append(ev)
+            elif ("@index" in container or "@id" in container or
+                  "@type" in container) and isinstance(value, dict):
+                expanded_value = []
+                for idx in sorted(value.keys()):
+                    iv = self.expand(ctx, key, value[idx], depth + 1)
+                    if iv is None:
+                        continue
+                    items = iv if isinstance(iv, list) else [iv]
+                    for item in items:
+                        if "@index" in container and idx != "@none" and \
+                                isinstance(item, dict) and \
+                                "@index" not in item and \
+                                "@list" not in item:
+                            item = {**item, "@index": idx}
+                        elif "@id" in container and idx != "@none" and \
+                                isinstance(item, dict) and "@id" not in item:
+                            item = {**item,
+                                    "@id": self.expand_iri(ctx, idx,
+                                                           doc_relative=True)}
+                        elif "@type" in container and idx != "@none" and \
+                                isinstance(item, dict):
+                            tv = self.expand_iri(ctx, idx, vocab=True,
+                                                 doc_relative=True)
+                            item = {**item,
+                                    "@type": [tv] + item.get("@type", [])}
+                        expanded_value.append(item)
+            else:
+                expanded_value = self.expand(ctx, key, value, depth + 1)
+            ctx = ctx_saved
+            if expanded_value is None:
+                continue
+            if not isinstance(expanded_value, list):
+                expanded_value = [expanded_value]
+            if "@list" in container and not (
+                    len(expanded_value) == 1 and
+                    isinstance(expanded_value[0], dict) and
+                    "@list" in expanded_value[0]):
+                expanded_value = [{"@list": expanded_value}]
+            if "@graph" in container and "@id" not in container and \
+                    "@index" not in container:
+                # @container:@graph wraps each value in a graph object
+                # (w3c e079-e081)
+                expanded_value = [
+                    v if isinstance(v, dict) and "@graph" in v
+                    else {"@graph": [v]}
+                    for v in expanded_value]
+            if ptd and ptd.reverse:
+                target = result.setdefault("@reverse", {})
+                target.setdefault(expanded_prop, []).extend(expanded_value)
+            else:
+                result.setdefault(expanded_prop, []).extend(expanded_value)
+        for nest_key in nests:
+            nv = element[nest_key]
+            for nested in (nv if isinstance(nv, list) else [nv]):
+                if not isinstance(nested, dict):
+                    raise ParseError("jsonld: invalid @nest value")
+                expanded = self.expand(ctx, active_prop, nested, depth + 1)
+                if isinstance(expanded, dict):
+                    for p, items in expanded.items():
+                        if p.startswith("@") and p != "@type":
+                            continue
+                        result.setdefault(p, []).extend(
+                            items if isinstance(items, list) else [items])
+        # value-object cleanup
+        if "@value" in result:
+            v = result["@value"]
+            if result.get("@type") == ["@json"] or result.get("@type") == "@json":
+                result["@type"] = "@json"
+            elif v is None:
+                return None
+            elif "@language" in result and not isinstance(v, str):
+                raise ParseError("jsonld: language-tagged non-string")
+            return result
+        if "@type" in result and not isinstance(result["@type"], list):
+            result["@type"] = [result["@type"]]
+        if set(result) == {"@language"}:
+            return None
+        if active_prop in (None, "@graph"):
+            if not result or set(result) <= {"@value", "@list"}:
+                return None
+            if set(result) == {"@id"}:
+                return None
+            return result
+        # under a property, an empty node object is a fresh blank node
+        # (w3c e016 "emptyobj")
+        return result
+
+    def expand_value(self, ctx: _Ctx, active_prop: str, value):
+        td = ctx.terms.get(active_prop)
+        tm = td.type_mapping if td else None
+        if tm == "@id" and isinstance(value, str):
+            return {"@id": self.expand_iri(ctx, value, doc_relative=True)}
+        if tm == "@vocab" and isinstance(value, str):
+            return {"@id": self.expand_iri(ctx, value, vocab=True,
+                                           doc_relative=True)}
+        result: Dict[str, Any] = {"@value": value}
+        if tm and tm not in ("@id", "@vocab", "@none", "@json"):
+            result["@type"] = tm
+        elif isinstance(value, str):
+            lang = td.language if td and td.language is not None \
+                else ctx.language
+            if lang:
+                result["@language"] = lang
+        return result
+
+
+# ---------------------------------------------------------------------------
+# Deserialize expanded JSON-LD to RDF
+# ---------------------------------------------------------------------------
+
+def _canonical_double(v: float) -> str:
+    """XSD canonical double: mantissa E exponent (JSON-LD data round
+    tripping: %1.15E with trailing zeros trimmed)."""
+    if v == 0:
+        return "-0.0E0" if math.copysign(1, v) < 0 else "0.0E0"
+    s = f"{v:1.15E}"
+    mant, exp = s.split("E")
+    mant = mant.rstrip("0")
+    if mant.endswith("."):
+        mant += "0"
+    expn = int(exp)
+    return f"{mant}E{expn}"
+
+
+class _ToRdf:
+    def __init__(self, rdf_direction: Optional[str] = None):
+        self.rdf_direction = rdf_direction
+        self.counter = 0
+        self.bnode_map: Dict[str, str] = {}
+        self.quads: List[Quad] = []
+
+    def bnode(self, label: Optional[str] = None) -> BlankNode:
+        if label is not None:
+            if label not in self.bnode_map:
+                self.bnode_map[label] = f"b{self.counter}"
+                self.counter += 1
+            return BlankNode(self.bnode_map[label])
+        b = BlankNode(f"b{self.counter}")
+        self.counter += 1
+        return b
+
+    @staticmethod
+    def _well_formed(iri: str) -> bool:
+        if any(ch in iri for ch in ' \t\n\r<>"{}|^`'):
+            return False
+        return _is_abs_iri(iri)
+
+    def node_term(self, ident: str) -> Optional[Term]:
+        if ident.startswith("_:"):
+            return self.bnode(ident[2:])
+        if not self._well_formed(ident):
+            return None  # ill-formed IRI → triple dropped (spec: warn)
+        return IRI(ident)
+
+    def object_term(self, item, graph: Optional[Term]) -> Optional[Term]:
+        if not isinstance(item, dict):
+            return None
+        if "@list" in item:
+            return self.list_term(item["@list"], graph)
+        if "@value" in item:
+            v = item["@value"]
+            dt = item.get("@type")
+            if isinstance(dt, list):
+                dt = dt[0] if dt else None
+            lang = item.get("@language")
+            if dt == "@json":
+                from ..functions.jcs import canonicalize_json
+                lex = canonicalize_json(json.dumps(v))
+                return Literal(lex, datatype=RDF_NS + "JSON")
+            direction = item.get("@direction")
+            if direction and self.rdf_direction == "i18n-datatype" and \
+                    isinstance(v, str):
+                return Literal(v, datatype="https://www.w3.org/ns/i18n#"
+                               f"{(lang or '').lower()}_{direction}")
+            if isinstance(v, bool):
+                return Literal("true" if v else "false",
+                               datatype=dt or XSD_BOOLEAN)
+            if isinstance(v, float) or (dt == XSD_DOUBLE and
+                                        isinstance(v, (int, float))):
+                if isinstance(v, int) and dt != XSD_DOUBLE:
+                    return Literal(str(v), datatype=dt or XSD_INTEGER)
+                if (isinstance(v, float) and (v != int(v) or abs(v) >= 1e21
+                                              or dt == XSD_DOUBLE)) or \
+                        dt == XSD_DOUBLE:
+                    return Literal(_canonical_double(float(v)),
+                                   datatype=dt or XSD_DOUBLE)
+                return Literal(str(int(v)), datatype=dt or XSD_INTEGER)
+            if isinstance(v, int):
+                return Literal(str(v), datatype=dt or XSD_INTEGER)
+            if lang:
+                return Literal(str(v), lang=lang)
+            return Literal(str(v), datatype=dt or "")
+        if "@id" in item and isinstance(item["@id"], str):
+            ident = item["@id"]
+            if not (ident.startswith("_:") or _is_abs_iri(ident)):
+                return None
+            return self.node_term(ident)
+        return None
+
+    def list_term(self, items: List, graph: Optional[Term]) -> Term:
+        if not items:
+            return IRI(RDF_NIL)
+        head = self.bnode()
+        node = head
+        for i, item in enumerate(items):
+            obj = self.object_term(item, graph)
+            if obj is not None:
+                self.quads.append(Quad(node, IRI(RDF_FIRST), obj, graph))
+            elif isinstance(item, dict) and ("@id" in item or
+                                             any(not k.startswith("@")
+                                                 for k in item)):
+                nid = self.node_id(item)
+                self.quads.append(Quad(node, IRI(RDF_FIRST),
+                                       self.node_term(nid), graph))
+                self.emit_node(item, graph, nid)
+            nxt = self.bnode() if i + 1 < len(items) else IRI(RDF_NIL)
+            self.quads.append(Quad(node, IRI(RDF_REST), nxt, graph))
+            node = nxt
+        return head
+
+    def node_id(self, node: dict) -> str:
+        ident = node.get("@id")
+        if isinstance(ident, str):
+            return ident
+        fresh = "_:fresh" + str(len(self.bnode_map) + self.counter)
+        node["@id"] = fresh
+        return fresh
+
+    def emit_node(self, node: dict, graph: Optional[Term],
+                  ident: Optional[str] = None) -> Optional[Term]:
+        if "@value" in node or "@list" in node:
+            return None
+        ident = ident or self.node_id(node)
+        if not (ident.startswith("_:") or _is_abs_iri(ident)):
+            return None
+        subject = self.node_term(ident)
+        if subject is None:
+            return None
+        for t in node.get("@type", []):
+            if isinstance(t, str) and (_is_abs_iri(t) or t.startswith("_:")):
+                tt = self.node_term(t)
+                if tt is not None:
+                    self.quads.append(Quad(subject, IRI(RDF_TYPE), tt, graph))
+        for prop in sorted(node.keys()):
+            if prop.startswith("@"):
+                if prop == "@reverse":
+                    for rp, ritems in node["@reverse"].items():
+                        if not _is_abs_iri(rp):
+                            continue
+                        for ritem in ritems:
+                            ro = self.resolve_object(ritem, graph)
+                            if ro is not None and not isinstance(ro, Literal):
+                                self.quads.append(
+                                    Quad(ro, IRI(rp), subject, graph))
+                elif prop == "@included":
+                    for inc in node["@included"]:
+                        self.emit_node(inc, graph)
+                elif prop == "@graph":
+                    for gnode in node["@graph"]:
+                        if isinstance(gnode, dict):
+                            self.emit_node(gnode, subject)
+                continue
+            if not (_is_abs_iri(prop) or prop.startswith("_:")):
+                continue
+            if prop.startswith("_:"):
+                continue  # generalized RDF off (spec default)
+            if not self._well_formed(prop):
+                continue
+            pred = IRI(prop)
+            for item in node[prop]:
+                obj = self.resolve_object(item, graph)
+                if obj is not None:
+                    self.quads.append(Quad(subject, pred, obj, graph))
+        return subject
+
+    def resolve_object(self, item, graph: Optional[Term]) -> Optional[Term]:
+        if not isinstance(item, dict):
+            return None
+        if "@value" in item or "@list" in item:
+            return self.object_term(item, graph)
+        ident = self.node_id(item)
+        if not (ident.startswith("_:") or _is_abs_iri(ident)):
+            return None
+        term = self.node_term(ident)
+        if term is None:
+            return None
+        self.emit_node(item, graph, ident)
+        return term
+
+
+def expand(text_or_doc, base: str = "", expand_context=None):
+    doc = json.loads(text_or_doc) if isinstance(text_or_doc, str) \
+        else text_or_doc
+    exp = Expander(base)
+    ctx = _Ctx(base)
+    if expand_context is not None:
+        ec = expand_context
+        if isinstance(ec, dict) and "@context" in ec:
+            ec = ec["@context"]
+        ctx = exp.process_context(ctx, ec)
+    result = exp.expand(ctx, None, doc)
+    if result is None:
+        return []
+    if isinstance(result, dict):
+        if set(result) == {"@graph"}:
+            result = result["@graph"]
+        else:
+            result = [result]
+    return result
+
+
+def to_rdf(text: str, base: str = "", expand_context=None,
+           rdf_direction: Optional[str] = None
+           ) -> Tuple[List[Quad], List[ParseError]]:
+    """Full-processor ToRDF: expansion + spec-numeric RDF deserialization.
+    ``expand_context``: external context (parsed JSON) applied before the
+    document's own (the API's expandContext option)."""
+    try:
+        expanded = expand(text, base=base, expand_context=expand_context)
+    except ParseError as e:
+        return [], [e]
+    except RecursionError:
+        return [], [ParseError("max depth exceeded", code="ERR_DEPTH")]
+    conv = _ToRdf(rdf_direction=rdf_direction)
+    try:
+        for node in expanded:
+            if isinstance(node, dict):
+                conv.emit_node(node, None)
+    except ParseError as e:
+        return conv.quads, [e]
+    # dedupe (RDF dataset is a set)
+    seen = set()
+    out = []
+    for q in conv.quads:
+        if q not in seen:
+            seen.add(q)
+            out.append(q)
+    return out, []
