@@ -32,6 +32,8 @@ FORMAT_ALIASES = {
     "application/rdf+xml": "rdfxml",
     "jsonld": "jsonld", "json-ld": "jsonld", "json": "jsonld",
     "application/ld+json": "jsonld",
+    # full-processor JSON-LD (expansion algorithm + spec numerics)
+    "jsonld11": "jsonld11", "jsonld-full": "jsonld11",
 }
 
 
@@ -89,6 +91,9 @@ PARSERS: Dict[str, Callable] = {
     "nquads": lambda text, base, bnf: parse_nt_document(text, quads=True),
     "rdfxml": lambda text, base, bnf: parse_rdfxml(text, base=base, bnode_factory=bnf),
     "jsonld": lambda text, base, bnf: parse_jsonld(text, base=base, bnode_factory=bnf),
+    "jsonld11": lambda text, base, bnf: __import__(
+        "rdf_go_spark.parsers.jsonld_full", fromlist=["x"]).to_rdf(
+            text, base=base),
 }
 
 

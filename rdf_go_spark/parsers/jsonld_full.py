@@ -223,6 +223,8 @@ class Expander:
                 not (defined or {}).get(value, False):
             self.create_term(ctx, local_ctx, value, defined or {})
         td = ctx.terms.get(value)
+        if td is not None and td.iri is None:
+            return None  # explicit null mapping decouples the term (e032)
         if td is not None and (_is_keyword(td.iri) or (vocab and td.iri)):
             return td.iri
         if ":" in value:
@@ -372,6 +374,13 @@ class Expander:
                     if isinstance(rev, dict):
                         target = result.setdefault("@reverse", {})
                         for p, items in rev.items():
+                            if p == "@reverse":
+                                # reverse-of-reverse is forward (w3c e043)
+                                for fp, fitems in items.items():
+                                    result.setdefault(fp, []).extend(
+                                        fitems if isinstance(fitems, list)
+                                        else [fitems])
+                                continue
                             if p.startswith("@"):
                                 continue
                             target.setdefault(p, []).extend(
@@ -410,13 +419,30 @@ class Expander:
             elif ("@index" in container or "@id" in container or
                   "@type" in container) and isinstance(value, dict):
                 expanded_value = []
+                graph_map = "@graph" in container
                 for idx in sorted(value.keys()):
                     iv = self.expand(ctx, key, value[idx], depth + 1)
                     if iv is None:
                         continue
                     items = iv if isinstance(iv, list) else [iv]
                     for item in items:
-                        if "@index" in container and idx != "@none" and \
+                        if graph_map:
+                            # graph map (w3c e084-e094): key names/indexes
+                            # the graph; explicit graph objects are NOT
+                            # re-wrapped here (unlike the plain @graph
+                            # container, e095)
+                            if not (isinstance(item, dict) and
+                                    "@graph" in item and
+                                    "@value" not in item):
+                                item = {"@graph": [item]}
+                            else:
+                                item = dict(item)
+                            if "@id" in container and idx != "@none":
+                                item["@id"] = self.expand_iri(
+                                    ctx, idx, doc_relative=True)
+                            elif "@index" in container and idx != "@none":
+                                item["@index"] = idx
+                        elif "@index" in container and idx != "@none" and \
                                 isinstance(item, dict) and \
                                 "@index" not in item and \
                                 "@list" not in item:
@@ -447,12 +473,10 @@ class Expander:
                 expanded_value = [{"@list": expanded_value}]
             if "@graph" in container and "@id" not in container and \
                     "@index" not in container:
-                # @container:@graph wraps each value in a graph object
-                # (w3c e079-e081)
-                expanded_value = [
-                    v if isinstance(v, dict) and "@graph" in v
-                    else {"@graph": [v]}
-                    for v in expanded_value]
+                # @container:@graph wraps each value in a graph object —
+                # ALWAYS, even when the value is itself a graph object
+                # (w3c e079-e081, e095-e097)
+                expanded_value = [{"@graph": [v]} for v in expanded_value]
             if ptd and ptd.reverse:
                 target = result.setdefault("@reverse", {})
                 target.setdefault(expanded_prop, []).extend(expanded_value)
