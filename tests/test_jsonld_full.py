@@ -116,3 +116,45 @@ class TestFullProcessorUnits:
         quads, errs = to_rdf(doc)
         assert not errs
         assert any(q.g is not None for q in quads)
+
+
+EXPAND_MANIFEST = "/root/reference/w3c-tests/jsonld/expand-manifest.jsonld"
+EXPAND_FLOOR = 210
+
+
+@pytest.mark.skipif(not os.path.exists(EXPAND_MANIFEST),
+                    reason="manifest unavailable")
+def test_w3c_expand_manifest_floor():
+    """Expansion algorithm vs the W3C expand suite, compared structurally
+    (dict keys unordered, sibling arrays compared as multisets)."""
+    man = json.load(open(EXPAND_MANIFEST))
+    opts = {e["input"].split("/")[-1]: e.get("option", {})
+            for e in man["sequence"] if "input" in e}
+    root = "/root/reference/w3c-tests/jsonld/expand"
+
+    def norm(x):
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return sorted(json.dumps(norm(v), sort_keys=True) for v in x)
+        return x
+
+    ok = total = 0
+    for f in sorted(glob.glob(root + "/*-in.jsonld")):
+        name = os.path.basename(f)
+        o = opts.get(name, {})
+        if o.get("specVersion") == "json-ld-1.0":
+            continue
+        ep = f.replace("-in.jsonld", "-out.jsonld")
+        if not os.path.exists(ep):
+            continue
+        total += 1
+        base = o.get("base",
+                     "https://w3c.github.io/json-ld-api/tests/expand/" + name)
+        try:
+            got = expand(open(f).read(), base=base)
+            if norm(got) == norm(json.load(open(ep))):
+                ok += 1
+        except Exception:  # noqa: BLE001 — counted
+            pass
+    assert ok >= EXPAND_FLOOR, f"expand suite regressed: {ok}/{total}"
