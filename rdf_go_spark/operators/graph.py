@@ -132,6 +132,21 @@ def materialize(triples: DataFrame, root: str,
             "total_rows": int(sum(r.n_rows for r in metrics_rows))}
 
 
+def materialize_bucketed(triples: DataFrame, table_name: str,
+                         n_buckets: int = 32,
+                         bucket_col: str = "subj") -> None:
+    """Bucketed graph table for co-located joins (SURVEY.md §4): two tables
+    bucketed+sorted on the same key join with ZERO exchanges — the
+    100 TB answer to repeated subject-keyed joins (entity resolution,
+    graph traversal steps). Verified in tests: a self-join plan on the
+    bucket column contains no Exchange."""
+    (triples.write.mode("overwrite")
+     .bucketBy(n_buckets, bucket_col)
+     .sortBy(bucket_col)
+     .format("parquet")
+     .saveAsTable(table_name))
+
+
 def read_graph(spark: SparkSession, root: str,
                only_committed: bool = True) -> DataFrame:
     df = spark.read.parquet(os.path.join(root, "data"))

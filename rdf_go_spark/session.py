@@ -31,6 +31,9 @@ def get_spark(app_name: str = "rdf_go_spark",
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE",
+                               "/tmp/rdf_go_spark_warehouse"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

@@ -123,3 +123,24 @@ class TestLinkStrategies:
                 assert "/e/" in r.entity_iri, r
             elif 1 - k / 100 < (k % 10) / 20:
                 assert "/alt/" in r.entity_iri, r
+
+
+class TestBucketedJoins:
+    def test_bucketed_self_join_has_no_exchange(self, spark, triples):
+        """Co-located join: bucketBy(subj) + sortBy → subject self-join
+        plans with ZERO shuffles (the repeated-join scale path)."""
+        from rdf_go_spark.operators.graph import materialize_bucketed
+        materialize_bucketed(triples, "graph_bucketed_test", n_buckets=8)
+        g = spark.table("graph_bucketed_test")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = g.alias("a").join(g.alias("b"), "subj").filter(
+                F.col("a.pred") != F.col("b.pred"))
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0, plan[:800]
+            assert "SortMergeJoin" in plan
+            assert j.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            spark.sql("DROP TABLE IF EXISTS graph_bucketed_test")
