@@ -41,10 +41,11 @@ def main() -> None:
 
     # warm-up: compile codegen + start python workers on a tiny corpus so
     # the measurements reflect steady-state task throughput, not JIT
-    try:
-        qdict["kg_triples"](spark, "/root/testdata/sf0.001").count()
-    except Exception:
-        pass
+    for warm in ("kg_triples", "dedup_minhash_lsh", "emb_cosine_topk"):
+        try:
+            qdict[warm](spark, "/root/testdata/sf0.001").count()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
