@@ -158,3 +158,40 @@ def test_w3c_expand_manifest_floor():
         except Exception:  # noqa: BLE001 — counted
             pass
     assert ok >= EXPAND_FLOOR, f"expand suite regressed: {ok}/{total}"
+
+
+FROMRDF = "/root/reference/w3c-tests/jsonld/fromRdf"
+
+
+@pytest.mark.skipif(not os.path.isdir(FROMRDF), reason="fixtures unavailable")
+def test_fromrdf_differential_roundtrip_floor():
+    """fromRdf differential: the suite's expected JSON-LD docs must
+    deserialize (via our full processor) back to the input graph, and OUR
+    JSON-LD encoder's output must round-trip the same way. 45/51 at last
+    count (rest hit spec-serializer options we don't model)."""
+    from rdf_go_spark.encoders import encode_jsonld
+
+    ok = enc_ok = total = 0
+    for f in sorted(glob.glob(FROMRDF + "/*-in.nq")):
+        ep = f.replace("-in.nq", "-out.jsonld")
+        if not os.path.exists(ep):
+            continue
+        total += 1
+        quads, errs = parse_document(open(f).read(), quads=True)
+        if errs:
+            continue
+        exp_quads, e2 = to_rdf(open(ep).read())
+        try:
+            if not e2 and isomorphic(list(set(quads)), list(set(exp_quads))):
+                ok += 1
+        except RecursionError:
+            pass
+        if all(q.g is None for q in quads):
+            ours, e3 = to_rdf(encode_jsonld(quads))
+            try:
+                if not e3 and isomorphic(list(set(quads)), list(set(ours))):
+                    enc_ok += 1
+            except RecursionError:
+                pass
+    assert ok >= 44, f"expected-doc round trip regressed: {ok}/{total}"
+    assert enc_ok >= 44, f"encoder round trip regressed: {enc_ok}"
