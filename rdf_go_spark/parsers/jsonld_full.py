@@ -421,7 +421,19 @@ class Expander:
                 expanded_value = []
                 graph_map = "@graph" in container
                 for idx in sorted(value.keys()):
-                    iv = self.expand(ctx, key, value[idx], depth + 1)
+                    raw_item = value[idx]
+                    injected_type = False
+                    if "@type" in container and idx != "@none" and \
+                            isinstance(raw_item, dict) and \
+                            "@value" not in raw_item:
+                        # inject the map key as a raw @type BEFORE expansion
+                        # so its type-scoped context applies (w3c c013)
+                        tv = raw_item.get("@type")
+                        tv = (tv if isinstance(tv, list)
+                              else [tv] if tv is not None else [])
+                        raw_item = {**raw_item, "@type": [idx] + tv}
+                        injected_type = True
+                    iv = self.expand(ctx, key, raw_item, depth + 1)
                     if iv is None:
                         continue
                     items = iv if isinstance(iv, list) else [iv]
@@ -453,7 +465,7 @@ class Expander:
                                     "@id": self.expand_iri(ctx, idx,
                                                            doc_relative=True)}
                         elif "@type" in container and idx != "@none" and \
-                                isinstance(item, dict):
+                                not injected_type and isinstance(item, dict):
                             tv = self.expand_iri(ctx, idx, vocab=True,
                                                  doc_relative=True)
                             item = {**item,
