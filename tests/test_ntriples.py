@@ -93,3 +93,23 @@ class TestUnitCases:
         stmts2, errs2 = parse_document(out, quads=True)
         assert not errs2
         assert encode_nquads(stmts2) == out  # fixpoint
+
+
+nq_c14n_pairs = [
+    (p.replace("-c14n.nq", ".nq"), p)
+    for d in (f"{W3C}/nquads/c14n",
+              f"{W3C}/rdf-tests/rdf/rdf12/rdf-n-quads/c14n")
+    for p in sorted(glob.glob(f"{d}/*-c14n.nq"))
+    if os.path.exists(p.replace("-c14n.nq", ".nq"))
+]
+
+
+@pytest.mark.skipif(not nq_c14n_pairs, reason="W3C fixtures unavailable")
+@pytest.mark.parametrize("inp,exp", nq_c14n_pairs,
+                         ids=lambda p: os.path.basename(p))
+def test_nq_c14n_byte_parity(inp, exp):
+    stmts, errs = parse_document(
+        open(inp, encoding="utf-8", newline="").read(), quads=True)
+    assert not errs
+    assert encode_nquads(stmts) == open(exp, encoding="utf-8",
+                                        newline="").read()
