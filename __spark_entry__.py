@@ -98,6 +98,9 @@ def _training_data_queries():
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        "dedup_clusters": lambda s, d: __import__(
+            "rdf_go_spark.operators.components", fromlist=["x"])
+            .dedup_clusters(dedup.minhash_lsh_pairs(_docs(s, d))),
         # similarity search
         "emb_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "emb_lsh_ann": lambda s, d: similarity.lsh_ann_topk(_emb(s, d)),
@@ -178,6 +181,9 @@ def _build_oracles() -> dict[str, str]:
         "doc_exact_dedup": textstats.exact_dedup_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_clusters": __import__(
+            "rdf_go_spark.operators.components", fromlist=["x"])
+            .dedup_clusters_oracle(dedup.minhash_lsh_oracle()),
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle(),
         "emb_cosine_topk": cosine_topk_oracle(),

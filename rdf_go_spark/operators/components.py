@@ -1,0 +1,89 @@
+"""Iterative connected components — the dedup-clustering step that turns
+near-duplicate PAIRS into groups (keep one doc per component at corpus
+scale), and the canonical "iterative algorithm" shape (driver loop over
+distributed joins, convergence check, lineage truncation).
+
+Algorithm: parallel label propagation to the minimum reachable id.
+Each round: component[n] ← min(component[n], min over neighbors
+component[neighbor]); converged when no label changes. Rounds are
+O(diameter); every round is one shuffle join + aggregate. localCheckpoint
+truncates the lineage so plans don't grow with iterations (the classic
+iterative-Spark footgun).
+
+Oracle: DuckDB WITH RECURSIVE reachability (min reachable node id) over
+the same edges — a fully independent formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst", max_iter: int = 25) -> DataFrame:
+    """(node, component) for the undirected graph given by edge pairs;
+    component = min node id in the component."""
+    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+           .unionByName(edges.select(F.col(dst).alias("a"),
+                                     F.col(src).alias("b")))
+           .distinct())
+    sym = sym.localCheckpoint()
+    labels = (sym.select(F.col("a").alias("node")).distinct()
+              .withColumn("component", F.col("node")))
+    labels = labels.localCheckpoint()
+
+    for _ in range(max_iter):
+        neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
+                        .groupBy(F.col("a").alias("node"))
+                        .agg(F.min("component").alias("nmin")))
+        updated = (labels.join(neighbor_min, "node", "left")
+                   .select("node",
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nmin"),
+                                              F.col("component")))
+                           .alias("component")))
+        updated = updated.localCheckpoint()
+        changed = (updated.alias("u")
+                   .join(labels.alias("l"), "node")
+                   .filter(F.col("u.component") != F.col("l.component"))
+                   .count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup pairs → clusters: (doc_id, cluster_id, cluster_size,
+    keep) where keep marks the representative (min doc id)."""
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    sizes = comp.groupBy("component").agg(F.count("*").alias("cluster_size"))
+    return (comp.join(sizes, "component")
+            .select(F.col("node").alias("doc_id"),
+                    F.col("component").alias("cluster_id"),
+                    "cluster_size",
+                    (F.col("node") == F.col("component")).alias("keep")))
+
+
+def dedup_clusters_oracle(pairs_sql: str) -> str:
+    """Recursive-CTE oracle over the SAME pair set."""
+    return f"""
+WITH RECURSIVE pairs AS ({pairs_sql}),
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.n, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (SELECT n, min(m) AS component FROM reach GROUP BY n),
+sizes AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY 1)
+SELECT c.n AS doc_id, c.component AS cluster_id,
+       s.cluster_size::BIGINT AS cluster_size,
+       c.n = c.component AS keep
+FROM comp c JOIN sizes s USING (component)
+""".strip()

@@ -22,7 +22,8 @@ def entrymod():
 TRAINING_QUERIES = [
     "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_simhash_pairs", "emb_cosine_topk", "emb_label_centroids",
+    "dedup_simhash_pairs", "dedup_clusters", "emb_cosine_topk",
+    "emb_label_centroids",
     "media_metadata", "pricing_summary", "top_customers",
     "events_user_stats", "sessionize_events", "orders_without_lineitems",
     "repeat_buyers",
@@ -141,3 +142,28 @@ class TestPlanShape:
         assert len(overlap) / len(brute) >= 0.25
         for pair in overlap:
             assert abs(ivf[pair] - brute[pair]) < 1e-9
+
+    def test_connected_components_vs_union_find(self, spark):
+        """Iterative label propagation vs a driver-side union-find on a
+        handcrafted graph with a cycle, a chain, and singleton-free pairs."""
+        from rdf_go_spark.operators.components import connected_components
+        edges = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22),
+                 (22, 23), (23, 24)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {r.node: r.component
+               for r in connected_components(df).collect()}
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {n: find(n) for n in parent}
+        assert got == expected
