@@ -248,7 +248,8 @@ class Expander:
     # ---- expansion -------------------------------------------------------
 
     def expand(self, ctx: _Ctx, active_prop: Optional[str], element,
-               depth: int = 0, inside_list: bool = False):
+               depth: int = 0, inside_list: bool = False,
+               from_map: bool = False):
         if depth > 60:
             raise ParseError("jsonld: max depth exceeded", code="ERR_DEPTH")
         if element is None:
@@ -284,8 +285,11 @@ class Expander:
         if not isinstance(element, dict):
             raise ParseError("jsonld: invalid element")
         # type-scoped contexts of an ANCESTOR node do not propagate into
-        # nested node objects (w3c c009): revert to the pre-type context
-        if ctx.previous is not None and "@value" not in element:
+        # nested node objects (w3c c009) — EXCEPT when entering values of a
+        # container map (spec expansion algo "frame/from map" guard,
+        # w3c c013) or plain subject references
+        if ctx.previous is not None and not from_map and \
+                "@value" not in element and set(element) != {"@id"}:
             ctx = ctx.previous
         if "@context" in element:
             ctx = self.process_context(ctx, element["@context"])
@@ -423,17 +427,19 @@ class Expander:
                 for idx in sorted(value.keys()):
                     raw_item = value[idx]
                     injected_type = False
-                    if "@type" in container and idx != "@none" and \
-                            isinstance(raw_item, dict) and \
-                            "@value" not in raw_item:
-                        # inject the map key as a raw @type BEFORE expansion
-                        # so its type-scoped context applies (w3c c013)
-                        tv = raw_item.get("@type")
-                        tv = (tv if isinstance(tv, list)
-                              else [tv] if tv is not None else [])
-                        raw_item = {**raw_item, "@type": [idx] + tv}
-                        injected_type = True
-                    iv = self.expand(ctx, key, raw_item, depth + 1)
+                    map_ctx = ctx
+                    if "@type" in container:
+                        # spec 13.9: @type maps expand their values from the
+                        # PREVIOUS (pre-type-scope) context, plus the map
+                        # key's own scoped context (w3c c013)
+                        map_ctx = ctx.previous if ctx.previous is not None \
+                            else ctx
+                        ktd = map_ctx.terms.get(idx) or ctx.terms.get(idx)
+                        if ktd is not None and ktd.local_ctx is not None:
+                            map_ctx = self.process_context(map_ctx,
+                                                           ktd.local_ctx)
+                    iv = self.expand(map_ctx, key, raw_item, depth + 1,
+                                     from_map=True)
                     if iv is None:
                         continue
                     items = iv if isinstance(iv, list) else [iv]
