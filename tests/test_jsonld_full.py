@@ -24,7 +24,7 @@ from rdf_go_spark.parsers.ntriples import parse_document
 TORDF = "/root/reference/w3c-tests/jsonld/toRdf"
 MANIFEST = "/root/reference/w3c-tests/jsonld/toRdf-manifest.jsonld"
 
-PASS_FLOOR = 290
+PASS_FLOOR = 295
 
 
 @pytest.mark.skipif(not os.path.exists(MANIFEST), reason="manifest unavailable")
@@ -119,7 +119,7 @@ class TestFullProcessorUnits:
 
 
 EXPAND_MANIFEST = "/root/reference/w3c-tests/jsonld/expand-manifest.jsonld"
-EXPAND_FLOOR = 210
+EXPAND_FLOOR = 215
 
 
 @pytest.mark.skipif(not os.path.exists(EXPAND_MANIFEST),
