@@ -23,7 +23,7 @@ from typing import Any, Callable, Dict, List, Optional, Tuple
 from ..terms import (
     BlankNode, IRI, Literal, ParseError, Quad, Term,
     RDF_FIRST, RDF_NIL, RDF_NS, RDF_REST, RDF_TYPE, XSD_BOOLEAN, XSD_DOUBLE,
-    XSD_INTEGER, XSD_STRING, resolve_iri,
+    XSD_INTEGER, XSD_STRING, has_scheme, resolve_iri,
 )
 
 KEYWORDS = {
@@ -237,7 +237,9 @@ class Expander:
             pdef = ctx.terms.get(prefix)
             if pdef is not None and pdef.iri and pdef.prefix_flag:
                 return pdef.iri + suffix
-            if _is_abs_iri(value):
+            # only scheme-shaped values stay as-is; "#x:y" or ":term"
+            # fall through to vocab/base expansion (w3c e109/e117)
+            if has_scheme(value):
                 return value
         if vocab and ctx.vocab:
             return ctx.vocab + value
