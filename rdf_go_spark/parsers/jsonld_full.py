@@ -38,10 +38,11 @@ _KW_RE = re.compile(r"^@[A-Za-z]+$")
 
 class _TermDef:
     __slots__ = ("iri", "type_mapping", "container", "language", "reverse",
-                 "prefix_flag", "local_ctx")
+                 "prefix_flag", "local_ctx", "index_prop")
 
     def __init__(self, iri, type_mapping=None, container=None, language=None,
-                 reverse=False, prefix_flag=False, local_ctx=None):
+                 reverse=False, prefix_flag=False, local_ctx=None,
+                 index_prop=None):
         self.iri = iri
         self.type_mapping = type_mapping
         self.container = container or []
@@ -49,6 +50,7 @@ class _TermDef:
         self.reverse = reverse
         self.prefix_flag = prefix_flag
         self.local_ctx = local_ctx  # term-scoped @context (w3c c0xx tests)
+        self.index_prop = index_prop  # property-based indexing (w3c pi0x)
 
 
 class _Ctx:
@@ -203,6 +205,8 @@ class Expander:
         # unless the rdfDirection option is set — w3c di0x expectations)
         if "@context" in value:
             td.local_ctx = value["@context"]
+        if "@index" in value and isinstance(value["@index"], str):
+            td.index_prop = value["@index"]
         if "@prefix" in value:
             td.prefix_flag = bool(value["@prefix"])
         elif simple and td.iri and td.iri[-1] in ":/?#[]@" and ":" not in term:
@@ -462,6 +466,20 @@ class Expander:
                                     ctx, idx, doc_relative=True)
                             elif "@index" in container and idx != "@none":
                                 item["@index"] = idx
+                        elif "@index" in container and idx != "@none" and \
+                                ptd is not None and \
+                                ptd.index_prop is not None and \
+                                isinstance(item, dict) and \
+                                "@list" not in item and \
+                                "@value" not in item:
+                            # property-based indexing (w3c pi06-pi11): the
+                            # map key becomes a VALUE of the index property
+                            pi = self.expand_iri(ctx, ptd.index_prop,
+                                                 vocab=True)
+                            iv_val = self.expand_value(ctx, ptd.index_prop,
+                                                       idx)
+                            item = {**item,
+                                    pi: item.get(pi, []) + [iv_val]}
                         elif "@index" in container and idx != "@none" and \
                                 isinstance(item, dict) and \
                                 "@index" not in item and \
