@@ -430,11 +430,14 @@ class Expander:
                   "@type" in container) and isinstance(value, dict):
                 expanded_value = []
                 graph_map = "@graph" in container
-                for idx in sorted(value.keys()):
-                    raw_item = value[idx]
+                for raw_idx in sorted(value.keys()):
+                    raw_item = value[raw_idx]
+                    # map keys may alias @none via a term def (w3c m012+)
+                    idx_exp = self.expand_iri(ctx, raw_idx, vocab=True)
+                    idx = "@none" if idx_exp == "@none" else raw_idx
                     injected_type = False
                     map_ctx = ctx
-                    if "@type" in container:
+                    if "@type" in container and idx != "@none":
                         # spec 13.9: @type maps expand their values from the
                         # PREVIOUS (pre-type-scope) context, plus the map
                         # key's own scoped context (w3c c013)
@@ -681,9 +684,10 @@ class _ToRdf:
                                              any(not k.startswith("@")
                                                  for k in item)):
                 nid = self.node_id(item)
-                self.quads.append(Quad(node, IRI(RDF_FIRST),
-                                       self.node_term(nid), graph))
-                self.emit_node(item, graph, nid)
+                nt = self.node_term(nid)
+                if nt is not None:
+                    self.quads.append(Quad(node, IRI(RDF_FIRST), nt, graph))
+                    self.emit_node(item, graph, nid)
             nxt = self.bnode() if i + 1 < len(items) else IRI(RDF_NIL)
             self.quads.append(Quad(node, IRI(RDF_REST), nxt, graph))
             node = nxt

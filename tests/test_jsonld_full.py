@@ -24,7 +24,7 @@ from rdf_go_spark.parsers.ntriples import parse_document
 TORDF = "/root/reference/w3c-tests/jsonld/toRdf"
 MANIFEST = "/root/reference/w3c-tests/jsonld/toRdf-manifest.jsonld"
 
-PASS_FLOOR = 300
+PASS_FLOOR = 305
 
 
 @pytest.mark.skipif(not os.path.exists(MANIFEST), reason="manifest unavailable")
