@@ -337,7 +337,11 @@ class Expander:
                     for v in vals:
                         if not isinstance(v, str):
                             raise ParseError("jsonld: invalid @type value")
-                        types.append(self.expand_iri(ctx, v, vocab=True,
+                        # @type values expand against the context BEFORE
+                        # type-scoping (matters when a type-scoped context
+                        # resets, w3c c014)
+                        types.append(self.expand_iri(pre_type_ctx, v,
+                                                     vocab=True,
                                                      doc_relative=True))
                     prev = result.get("@type", [])
                     result["@type"] = prev + types
