@@ -79,8 +79,12 @@ def _is_keyword(v) -> bool:
 
 
 class Expander:
-    def __init__(self, base: str = ""):
+    def __init__(self, base: str = "", loader=None):
+        # loader: Callable[[str IRI], parsed JSON] — the DocumentLoader
+        # analogue (reference: rdf/jsonld_api.go:60-62); used for remote
+        # contexts and @import
         self.base = base
+        self.loader = loader
 
     # ---- context processing ------------------------------------------
 
@@ -94,10 +98,29 @@ class Expander:
                 result = _Ctx(self.base)
                 continue
             if isinstance(item, str):
-                # remote context — unsupported (no DocumentLoader)
+                # remote context via the DocumentLoader hook
+                if self.loader is not None:
+                    try:
+                        doc = self.loader(item)
+                    except Exception:
+                        continue
+                    if isinstance(doc, dict) and "@context" in doc:
+                        result = self.process_context(result, doc["@context"])
                 continue
             if not isinstance(item, dict):
                 raise ParseError("jsonld: invalid local context")
+            if "@import" in item and self.loader is not None and \
+                    isinstance(item["@import"], str):
+                try:
+                    imported = self.loader(item["@import"])
+                except Exception:
+                    imported = None
+                if isinstance(imported, dict):
+                    ic = imported.get("@context", imported)
+                    if isinstance(ic, dict):
+                        # import merges under the importing context
+                        item = {**ic, **{k: v for k, v in item.items()
+                                         if k != "@import"}}
             if "@base" in item:
                 v = item["@base"]
                 if v is None:
@@ -172,12 +195,18 @@ class Expander:
             td.iri = self.expand_iri(ctx, rv, vocab=True, local_ctx=local,
                                      defined=defined)
             td.reverse = True
-        elif "@id" in value and value["@id"] != term:
+        elif "@id" in value and value["@id"] != term and \
+                not (kw_like := (isinstance(value["@id"], str) and
+                                 not _is_keyword(value["@id"]) and
+                                 bool(_KW_RE.match(value["@id"])))):
+            # keyword-LIKE @id values ("@ignoreMe") fall through to the
+            # vocab branch below (w3c pr37/e120); real keywords kept
             idv = value["@id"]
             if not isinstance(idv, str):
                 raise ParseError("jsonld: invalid IRI mapping")
             td.iri = (idv if _is_keyword(idv) else
-                      self.expand_iri(ctx, idv, vocab=True, local_ctx=local,
+                      self.expand_iri(ctx, idv, vocab=True,
+                                      doc_relative=True, local_ctx=local,
                                       defined=defined))
         else:
             # term with no explicit @id
@@ -192,6 +221,12 @@ class Expander:
                     td.iri = term
             elif ctx.vocab:
                 td.iri = ctx.vocab + term
+            elif locals().get("kw_like"):
+                # keyword-like @id with no vocab fallback: term dropped
+                # entirely (w3c pr36)
+                ctx.terms.pop(term, None)
+                defined[term] = True
+                return
             else:
                 raise ParseError(f"jsonld: invalid IRI mapping for {term!r}")
         if "@container" in value:
@@ -767,10 +802,10 @@ class _ToRdf:
         return term
 
 
-def expand(text_or_doc, base: str = "", expand_context=None):
+def expand(text_or_doc, base: str = "", expand_context=None, loader=None):
     doc = json.loads(text_or_doc) if isinstance(text_or_doc, str) \
         else text_or_doc
-    exp = Expander(base)
+    exp = Expander(base, loader=loader)
     ctx = _Ctx(base)
     if expand_context is not None:
         ec = expand_context
@@ -789,13 +824,15 @@ def expand(text_or_doc, base: str = "", expand_context=None):
 
 
 def to_rdf(text: str, base: str = "", expand_context=None,
-           rdf_direction: Optional[str] = None
+           rdf_direction: Optional[str] = None, loader=None
            ) -> Tuple[List[Quad], List[ParseError]]:
     """Full-processor ToRDF: expansion + spec-numeric RDF deserialization.
     ``expand_context``: external context (parsed JSON) applied before the
-    document's own (the API's expandContext option)."""
+    document's own (the API's expandContext option); ``loader``: the
+    DocumentLoader analogue for remote contexts / @import."""
     try:
-        expanded = expand(text, base=base, expand_context=expand_context)
+        expanded = expand(text, base=base, expand_context=expand_context,
+                          loader=loader)
     except ParseError as e:
         return [], [e]
     except RecursionError:
