@@ -330,7 +330,9 @@ class Expander:
         # container map (spec expansion algo "frame/from map" guard,
         # w3c c013) or plain subject references
         if ctx.previous is not None and not from_map and \
-                "@value" not in element and set(element) != {"@id"}:
+                set(element) != {"@id"} and \
+                not any(self.expand_iri(ctx, k, vocab=True) == "@value"
+                        for k in element):
             ctx = ctx.previous
         if "@context" in element:
             ctx = self.process_context(ctx, element["@context"])
@@ -343,11 +345,18 @@ class Expander:
                     if isinstance(t, str):
                         type_terms.append(t)
         pre_type_ctx = ctx
+        propagate_type_ctx = False
         for t in sorted(type_terms):
-            ttd = ctx.terms.get(t)
+            # each type's term definition comes from the ORIGINAL context —
+            # a prior type's scoped [null, …] reset must not hide it (c018)
+            ttd = pre_type_ctx.terms.get(t) or ctx.terms.get(t)
             if ttd is not None and ttd.local_ctx is not None:
                 ctx = self.process_context(ctx, ttd.local_ctx)
-        if ctx is not pre_type_ctx:
+                lc = ttd.local_ctx
+                for part in (lc if isinstance(lc, list) else [lc]):
+                    if isinstance(part, dict) and part.get("@propagate") is True:
+                        propagate_type_ctx = True
+        if ctx is not pre_type_ctx and not propagate_type_ctx:
             ctx.previous = pre_type_ctx
         result: Dict[str, Any] = {}
         nests: List[str] = []

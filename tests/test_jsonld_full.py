@@ -24,7 +24,7 @@ from rdf_go_spark.parsers.ntriples import parse_document
 TORDF = "/root/reference/w3c-tests/jsonld/toRdf"
 MANIFEST = "/root/reference/w3c-tests/jsonld/toRdf-manifest.jsonld"
 
-PASS_FLOOR = 312
+PASS_FLOOR = 318
 
 
 def _local_loader(url):
