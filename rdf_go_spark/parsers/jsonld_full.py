@@ -457,6 +457,12 @@ class Expander:
             value_ctx = ctx
             if ptd is not None and ptd.local_ctx is not None:
                 value_ctx = self.process_context(ctx, ptd.local_ctx)
+                lc = ptd.local_ctx
+                for part in (lc if isinstance(lc, list) else [lc]):
+                    if isinstance(part, dict) and \
+                            part.get("@propagate") is False:
+                        # non-propagating property-scoped context (so06)
+                        value_ctx.previous = ctx
             ctx_saved = ctx
             ctx = value_ctx
             if ptd and ptd.type_mapping == "@json":
@@ -465,13 +471,14 @@ class Expander:
                 expanded_value = []
                 for lang in sorted(value.keys()):
                     lv = value[lang]
+                    lang_exp = self.expand_iri(ctx, lang, vocab=True)
                     for item in (lv if isinstance(lv, list) else [lv]):
                         if item is None:
                             continue
                         if not isinstance(item, str):
                             raise ParseError("jsonld: invalid language map")
                         ev = {"@value": item}
-                        if lang != "@none":
+                        if lang != "@none" and lang_exp != "@none":
                             ev["@language"] = lang.lower()
                         expanded_value.append(ev)
             elif ("@index" in container or "@id" in container or
@@ -710,6 +717,9 @@ class _ToRdf:
             if isinstance(v, int):
                 return Literal(str(v), datatype=dt or XSD_INTEGER)
             if lang:
+                from ..terms import is_valid_lang_tag
+                if not is_valid_lang_tag(lang):
+                    return None  # ill-formed language tag → dropped (wf05)
                 return Literal(str(v), lang=lang)
             return Literal(str(v), datatype=dt or "")
         if "@id" in item and isinstance(item["@id"], str):

@@ -24,7 +24,7 @@ from rdf_go_spark.parsers.ntriples import parse_document
 TORDF = "/root/reference/w3c-tests/jsonld/toRdf"
 MANIFEST = "/root/reference/w3c-tests/jsonld/toRdf-manifest.jsonld"
 
-PASS_FLOOR = 318
+PASS_FLOOR = 320
 
 
 def _local_loader(url):
@@ -127,7 +127,7 @@ class TestFullProcessorUnits:
 
 
 EXPAND_MANIFEST = "/root/reference/w3c-tests/jsonld/expand-manifest.jsonld"
-EXPAND_FLOOR = 215
+EXPAND_FLOOR = 232
 
 
 @pytest.mark.skipif(not os.path.exists(EXPAND_MANIFEST),
