@@ -40,6 +40,7 @@ class _TermDef:
     __slots__ = ("iri", "type_mapping", "container", "language", "reverse",
                  "prefix_flag", "local_ctx", "index_prop")
 
+
     def __init__(self, iri, type_mapping=None, container=None, language=None,
                  reverse=False, prefix_flag=False, local_ctx=None,
                  index_prop=None):
@@ -60,6 +61,9 @@ class _Ctx:
         self.vocab: Optional[str] = None
         self.language: Optional[str] = None
         self.previous: Optional["_Ctx"] = None  # set by type-scoped ctxs
+        # property-scoped @propagate:false contexts apply to the IMMEDIATE
+        # value and revert only below it (w3c so06)
+        self.skip_one = False
 
     def copy(self) -> "_Ctx":
         c = _Ctx(self.base)
@@ -67,6 +71,7 @@ class _Ctx:
         c.vocab = self.vocab
         c.language = self.language
         c.previous = self.previous
+        c.skip_one = self.skip_one
         return c
 
 
@@ -100,8 +105,12 @@ class Expander:
             if isinstance(item, str):
                 # remote context via the DocumentLoader hook
                 if self.loader is not None:
+                    # remote context URLs resolve against the DOCUMENT base,
+                    # not a context-modified @base (w3c c031)
+                    url = resolve_iri(self.base, item) \
+                        if not has_scheme(item) else item
                     try:
-                        doc = self.loader(item)
+                        doc = self.loader(url)
                     except Exception:
                         continue
                     if isinstance(doc, dict) and "@context" in doc:
@@ -329,13 +338,22 @@ class Expander:
         # nested node objects (w3c c009) — EXCEPT when entering values of a
         # container map (spec expansion algo "frame/from map" guard,
         # w3c c013) or plain subject references
-        if ctx.previous is not None and not from_map and \
+        if ctx.previous is not None and ctx.skip_one:
+            ctx = ctx.copy()
+            ctx.skip_one = False  # revert applies to the NEXT level down
+        elif ctx.previous is not None and not from_map and \
                 set(element) != {"@id"} and \
                 not any(self.expand_iri(ctx, k, vocab=True) == "@value"
                         for k in element):
             ctx = ctx.previous
         if "@context" in element:
+            pre_inline = ctx
             ctx = self.process_context(ctx, element["@context"])
+            ec = element["@context"]
+            for part in (ec if isinstance(ec, list) else [ec]):
+                if isinstance(part, dict) and part.get("@propagate") is False:
+                    # inline context marked non-propagating (w3c c028)
+                    ctx.previous = pre_inline
         # type-scoped contexts: term definitions of the node's @type values
         # may carry their own @context (w3c c006, c007, …)
         type_terms: List[str] = []
@@ -461,8 +479,10 @@ class Expander:
                 for part in (lc if isinstance(lc, list) else [lc]):
                     if isinstance(part, dict) and \
                             part.get("@propagate") is False:
-                        # non-propagating property-scoped context (so06)
+                        # non-propagating property-scoped context: applies
+                        # to the immediate value, reverts below it (so06)
                         value_ctx.previous = ctx
+                        value_ctx.skip_one = True
             ctx_saved = ctx
             ctx = value_ctx
             if ptd and ptd.type_mapping == "@json":

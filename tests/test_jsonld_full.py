@@ -24,14 +24,18 @@ from rdf_go_spark.parsers.ntriples import parse_document
 TORDF = "/root/reference/w3c-tests/jsonld/toRdf"
 MANIFEST = "/root/reference/w3c-tests/jsonld/toRdf-manifest.jsonld"
 
-PASS_FLOOR = 320
+PASS_FLOOR = 323
+
+
+_URL_PREFIX = "https://w3c.github.io/json-ld-api/tests/toRdf/"
 
 
 def _local_loader(url):
     """DocumentLoader analogue: resolve remote-context/@import URLs to the
-    local fixture directory."""
-    path = os.path.join(TORDF, url.split("/")[-1])
-    return json.load(open(path))
+    local fixture directory (incl. subdirectories, w3c c031)."""
+    rel = url[len(_URL_PREFIX):] if url.startswith(_URL_PREFIX) \
+        else url.split("/")[-1]
+    return json.load(open(os.path.join(TORDF, rel)))
 
 
 @pytest.mark.skipif(not os.path.exists(MANIFEST), reason="manifest unavailable")
