@@ -176,6 +176,10 @@ class Expander:
             raise ParseError("jsonld: keyword redefinition '@type'")
         if _is_keyword(term) or term == "":
             raise ParseError(f"jsonld: keyword redefinition {term!r}")
+        if _KW_RE.match(term):
+            # terms in the FORM of a keyword are ignored (w3c pr39)
+            defined[term] = True
+            return
         defined[term] = False
         if value is None or (isinstance(value, dict) and
                              value.get("@id") is None and "@id" in value):
@@ -197,7 +201,18 @@ class Expander:
                 t = self.expand_iri(ctx, t, vocab=True, local_ctx=local,
                                     defined=defined)
             td.type_mapping = t
-        if "@reverse" in value:
+        if "@reverse" in value and isinstance(value["@reverse"], str) and \
+                not _is_keyword(value["@reverse"]) and \
+                _KW_RE.match(value["@reverse"]):
+            # keyword-like @reverse is ignored; term falls back to a
+            # forward vocab mapping (w3c pr39)
+            if ctx.vocab:
+                td.iri = ctx.vocab + term
+            else:
+                ctx.terms.pop(term, None)
+                defined[term] = True
+                return
+        elif "@reverse" in value:
             rv = value["@reverse"]
             if not isinstance(rv, str):
                 raise ParseError("jsonld: invalid reverse mapping")
@@ -721,6 +736,17 @@ class _ToRdf:
                     isinstance(v, str):
                 return Literal(v, datatype="https://www.w3.org/ns/i18n#"
                                f"{(lang or '').lower()}_{direction}")
+            if direction and self.rdf_direction == "compound-literal" and \
+                    isinstance(v, str):
+                b = self.bnode()
+                self.quads.append(Quad(b, IRI(RDF_NS + "value"),
+                                       Literal(v), graph))
+                if lang:
+                    self.quads.append(Quad(b, IRI(RDF_NS + "language"),
+                                           Literal(lang.lower()), graph))
+                self.quads.append(Quad(b, IRI(RDF_NS + "direction"),
+                                       Literal(direction), graph))
+                return b
             if isinstance(v, bool):
                 return Literal("true" if v else "false",
                                datatype=dt or XSD_BOOLEAN)
