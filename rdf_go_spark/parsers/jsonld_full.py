@@ -234,7 +234,7 @@ class Expander:
                                       defined=defined))
         else:
             # term with no explicit @id
-            if ":" in term:
+            if ":" in term and not term.startswith(":"):
                 prefix, suffix = term.split(":", 1)
                 if prefix in local and not defined.get(prefix, True):
                     self.create_term(ctx, local, prefix, defined)
@@ -406,8 +406,12 @@ class Expander:
                 if expanded_prop == "@id":
                     if not isinstance(value, str):
                         raise ParseError("jsonld: invalid @id value")
-                    result["@id"] = self.expand_iri(ctx, value,
-                                                    doc_relative=True)
+                    expanded_id = self.expand_iri(ctx, value,
+                                                  doc_relative=True)
+                    if expanded_id is None:
+                        # keyword-form @id: node ignored (w3c e122)
+                        return None
+                    result["@id"] = expanded_id
                 elif expanded_prop == "@type":
                     vals = value if isinstance(value, list) else [value]
                     types = []
