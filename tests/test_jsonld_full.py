@@ -207,3 +207,67 @@ def test_fromrdf_differential_roundtrip_floor():
                 pass
     assert ok >= 44, f"expected-doc round trip regressed: {ok}/{total}"
     assert enc_ok >= 44, f"encoder round trip regressed: {enc_ok}"
+
+
+class TestScopedContextSemantics:
+    """Pinned corner semantics (each was a W3C-suite fix; floors alone
+    wouldn't localize a regression)."""
+
+    def test_alias_value_object_survives_revert(self):
+        # c020: keyword alias from a type-scoped ctx makes the nested dict
+        # a VALUE object — the revert guard must see through the alias
+        doc = ('{"@context":{"@vocab":"http://example/","type":"@type",'
+               '"Type":{"@context":{"value":"@value"}}},'
+               '"type":"Type","v":{"value":"x","type":"dt"}}')
+        quads, errs = to_rdf(doc)
+        assert not errs
+        lits = [q.o for q in quads if hasattr(q.o, "lexical")]
+        assert any(o.lexical == "x" and o.datatype.endswith("/dt")
+                   for o in lits)
+
+    def test_propagate_false_property_ctx_applies_one_level(self):
+        # so06 shape: scoped ctx applies to the immediate value, reverts
+        # below
+        doc = ('{"@context":{"@vocab":"http://example/",'
+               '"bar":{"@context":{"@propagate":false,'
+               '"baz":{"@id":"http://other/baz"}}}},'
+               '"bar":{"baz":{"baz":"buzz"}}}')
+        quads, errs = to_rdf(doc)
+        assert not errs
+        preds = sorted(str(q.p) for q in quads)
+        assert "<http://other/baz>" in preds          # first level
+        assert "<http://example/baz>" in preds        # reverted below
+
+    def test_type_map_key_scoped_context(self):
+        # c013 shape: @type-map keys apply their scoped contexts
+        doc = ('{"@context":{"@vocab":"http://example/",'
+               '"prop":{"@container":"@type"},'
+               '"Inner":{"@context":{"foo":"http://inner/foo"}}},'
+               '"prop":{"Inner":{"foo":"v"}}}')
+        quads, errs = to_rdf(doc)
+        assert not errs
+        assert any(str(q.p) == "<http://inner/foo>" for q in quads)
+
+    def test_compound_literal_direction(self):
+        doc = ('{"@id":"http://e/s","http://e/p":'
+               '{"@value":"x","@language":"ar","@direction":"rtl"}}')
+        quads, errs = to_rdf(doc, rdf_direction="compound-literal")
+        assert not errs
+        preds = sorted(str(q.p) for q in quads)
+        assert any(p.endswith("#direction>") for p in preds)
+        assert any(p.endswith("#language>") for p in preds)
+
+    def test_keyword_form_id_drops_node(self):
+        doc = '{"@id":"http://e/s","http://e/p":{"@id":"@ignoreMe"}}'
+        quads, errs = to_rdf(doc)
+        assert not errs and quads == []
+
+    def test_document_loader_import(self):
+        def loader(url):
+            assert url == "http://ctx.example/c.jsonld"
+            return {"@context": {"imported": "http://imported/p"}}
+        doc = ('{"@context":{"@import":"http://ctx.example/c.jsonld"},'
+               '"@id":"http://e/s","imported":"v"}')
+        quads, errs = to_rdf(doc, loader=loader)
+        assert not errs
+        assert str(quads[0].p) == "<http://imported/p>"
