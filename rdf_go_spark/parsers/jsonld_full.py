@@ -529,6 +529,13 @@ class Expander:
                     # map keys may alias @none via a term def (w3c m012+)
                     idx_exp = self.expand_iri(ctx, raw_idx, vocab=True)
                     idx = "@none" if idx_exp == "@none" else raw_idx
+                    if "@type" in container and isinstance(raw_item, str) \
+                            and (ptd is None or ptd.type_mapping not in
+                                 ("@id", "@vocab")):
+                        # string values in @type maps are node refs (m017);
+                        # an explicit @id/@vocab coercion handles its own
+                        # expansion (m019)
+                        raw_item = {"@id": raw_item}
                     injected_type = False
                     map_ctx = ctx
                     if "@type" in container and idx != "@none":
@@ -562,7 +569,18 @@ class Expander:
                                 item["@id"] = self.expand_iri(
                                     ctx, idx, doc_relative=True)
                             elif "@index" in container and idx != "@none":
-                                item["@index"] = idx
+                                if ptd is not None and \
+                                        ptd.index_prop is not None:
+                                    # property-based graph index (pi11):
+                                    # key becomes a property of the wrapper
+                                    pi = self.expand_iri(ctx, ptd.index_prop,
+                                                         vocab=True)
+                                    item[pi] = item.get(pi, []) + \
+                                        [self.expand_value(ctx,
+                                                           ptd.index_prop,
+                                                           idx)]
+                                else:
+                                    item["@index"] = idx
                         elif "@index" in container and idx != "@none" and \
                                 ptd is not None and \
                                 ptd.index_prop is not None and \

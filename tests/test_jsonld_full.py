@@ -24,7 +24,7 @@ from rdf_go_spark.parsers.ntriples import parse_document
 TORDF = "/root/reference/w3c-tests/jsonld/toRdf"
 MANIFEST = "/root/reference/w3c-tests/jsonld/toRdf-manifest.jsonld"
 
-PASS_FLOOR = 328
+PASS_FLOOR = 330
 
 
 _URL_PREFIX = "https://w3c.github.io/json-ld-api/tests/toRdf/"
