@@ -35,15 +35,19 @@ KEYWORDS = {
 
 _KW_RE = re.compile(r"^@[A-Za-z]+$")
 
+# sentinel: term has NO scoped context (None means an explicit
+# "@context": null, which nullifies the active context — w3c pr06)
+_NO_CTX = object()
+
 
 class _TermDef:
     __slots__ = ("iri", "type_mapping", "container", "language", "reverse",
-                 "prefix_flag", "local_ctx", "index_prop")
+                 "prefix_flag", "local_ctx", "index_prop", "direction")
 
 
     def __init__(self, iri, type_mapping=None, container=None, language=None,
-                 reverse=False, prefix_flag=False, local_ctx=None,
-                 index_prop=None):
+                 reverse=False, prefix_flag=False, local_ctx=_NO_CTX,
+                 index_prop=None, direction=None):
         self.iri = iri
         self.type_mapping = type_mapping
         self.container = container or []
@@ -52,6 +56,7 @@ class _TermDef:
         self.prefix_flag = prefix_flag
         self.local_ctx = local_ctx  # term-scoped @context (w3c c0xx tests)
         self.index_prop = index_prop  # property-based indexing (w3c pi0x)
+        self.direction = direction  # None = inherit; "" = @null (w3c di0x)
 
 
 class _Ctx:
@@ -60,6 +65,7 @@ class _Ctx:
         self.base = base
         self.vocab: Optional[str] = None
         self.language: Optional[str] = None
+        self.direction: Optional[str] = None  # default base direction
         self.previous: Optional["_Ctx"] = None  # set by type-scoped ctxs
         # property-scoped @propagate:false contexts apply to the IMMEDIATE
         # value and revert only below it (w3c so06)
@@ -70,6 +76,7 @@ class _Ctx:
         c.terms = dict(self.terms)
         c.vocab = self.vocab
         c.language = self.language
+        c.direction = self.direction
         c.previous = self.previous
         c.skip_one = self.skip_one
         return c
@@ -147,6 +154,9 @@ class Expander:
             if "@language" in item:
                 v = item["@language"]
                 result.language = v.lower() if isinstance(v, str) else None
+            if "@direction" in item:
+                v = item["@direction"]
+                result.direction = v if v in ("ltr", "rtl") else None
             defined: Dict[str, bool] = {}
             for key in item:
                 if key in ("@base", "@vocab", "@language", "@version",
@@ -260,8 +270,9 @@ class Expander:
         if "@language" in value:
             lv = value["@language"]
             td.language = lv.lower() if isinstance(lv, str) else ""
-        # "@direction" accepted and ignored (RDF output drops directions
-        # unless the rdfDirection option is set — w3c di0x expectations)
+        if "@direction" in value:
+            dv = value["@direction"]
+            td.direction = dv if dv in ("ltr", "rtl") else ""
         if "@context" in value:
             td.local_ctx = value["@context"]
         if "@index" in value and isinstance(value["@index"], str):
@@ -383,7 +394,7 @@ class Expander:
             # each type's term definition comes from the ORIGINAL context —
             # a prior type's scoped [null, …] reset must not hide it (c018)
             ttd = pre_type_ctx.terms.get(t) or ctx.terms.get(t)
-            if ttd is not None and ttd.local_ctx is not None:
+            if ttd is not None and ttd.local_ctx is not _NO_CTX:
                 ctx = self.process_context(ctx, ttd.local_ctx)
                 lc = ttd.local_ctx
                 for part in (lc if isinstance(lc, list) else [lc]):
@@ -408,9 +419,9 @@ class Expander:
                         raise ParseError("jsonld: invalid @id value")
                     expanded_id = self.expand_iri(ctx, value,
                                                   doc_relative=True)
-                    if expanded_id is None:
-                        # keyword-form @id: node ignored (w3c e122)
-                        return None
+                    # keyword-form @id stays as an explicit null in the
+                    # expanded output (w3c 0122); the RDF layer drops the
+                    # node (e122)
                     result["@id"] = expanded_id
                 elif expanded_prop == "@type":
                     vals = value if isinstance(value, list) else [value]
@@ -480,6 +491,8 @@ class Expander:
                                 continue
                             target.setdefault(p, []).extend(
                                 items if isinstance(items, list) else [items])
+                        if not result["@reverse"]:
+                            del result["@reverse"]  # all flipped forward (0043)
                 elif expanded_prop == "@included":
                     inc = self.expand(ctx, None, value, depth + 1)
                     if not isinstance(inc, list):
@@ -492,7 +505,7 @@ class Expander:
             container = ptd.container if ptd else []
             # term-scoped context applies to this value's expansion
             value_ctx = ctx
-            if ptd is not None and ptd.local_ctx is not None:
+            if ptd is not None and ptd.local_ctx is not _NO_CTX:
                 value_ctx = self.process_context(ctx, ptd.local_ctx)
                 lc = ptd.local_ctx
                 for part in (lc if isinstance(lc, list) else [lc]):
@@ -519,6 +532,10 @@ class Expander:
                         ev = {"@value": item}
                         if lang != "@none" and lang_exp != "@none":
                             ev["@language"] = lang.lower()
+                        direction = ptd.direction if ptd and \
+                            ptd.direction is not None else ctx.direction
+                        if direction:
+                            ev["@direction"] = direction
                         expanded_value.append(ev)
             elif ("@index" in container or "@id" in container or
                   "@type" in container) and isinstance(value, dict):
@@ -545,7 +562,7 @@ class Expander:
                         map_ctx = ctx.previous if ctx.previous is not None \
                             else ctx
                         ktd = map_ctx.terms.get(idx) or ctx.terms.get(idx)
-                        if ktd is not None and ktd.local_ctx is not None:
+                        if ktd is not None and ktd.local_ctx is not _NO_CTX:
                             map_ctx = self.process_context(map_ctx,
                                                            ktd.local_ctx)
                     iv = self.expand(map_ctx, key, raw_item, depth + 1,
@@ -637,16 +654,38 @@ class Expander:
                 result.setdefault(expanded_prop, []).extend(expanded_value)
         for nest_key in nests:
             nv = element[nest_key]
+            # a term aliasing @nest may carry its own scoped context which
+            # applies to the nested object (w3c c037/c038)
+            nest_ctx = ctx
+            ntd = ctx.terms.get(nest_key)
+            if ntd is not None and ntd.local_ctx is not _NO_CTX:
+                nest_ctx = self.process_context(ctx, ntd.local_ctx)
             for nested in (nv if isinstance(nv, list) else [nv]):
                 if not isinstance(nested, dict):
                     raise ParseError("jsonld: invalid @nest value")
-                expanded = self.expand(ctx, active_prop, nested, depth + 1)
+                expanded = self.expand(nest_ctx, active_prop, nested,
+                                       depth + 1)
                 if isinstance(expanded, dict):
+                    # nested keys are treated as if they were keys of the
+                    # containing node — @id/@type/@included merge too (in06)
                     for p, items in expanded.items():
-                        if p.startswith("@") and p != "@type":
+                        if p == "@id":
+                            result.setdefault("@id", items)
+                        elif p == "@reverse":
+                            tgt = result.setdefault("@reverse", {})
+                            for rp, ritems in items.items():
+                                tgt.setdefault(rp, []).extend(ritems)
+                        elif p == "@value":
+                            raise ParseError("jsonld: invalid @nest value")
+                        elif p in ("@index",):
+                            result.setdefault(p, items)
+                        elif p.startswith("@") and p not in (
+                                "@type", "@included"):
                             continue
-                        result.setdefault(p, []).extend(
-                            items if isinstance(items, list) else [items])
+                        else:
+                            result.setdefault(p, []).extend(
+                                items if isinstance(items, list)
+                                else [items])
         # value-object cleanup
         if "@value" in result:
             v = result["@value"]
@@ -656,6 +695,13 @@ class Expander:
                 return None
             elif "@language" in result and not isinstance(v, str):
                 raise ParseError("jsonld: language-tagged non-string")
+            # in expanded form a value object's @type is a STRING, not an
+            # array (spec expansion step 14; w3c expand 0002)
+            if isinstance(result.get("@type"), list) and \
+                    len(result["@type"]) == 1:
+                result["@type"] = result["@type"][0]
+            if active_prop in (None, "@graph"):
+                return None  # free-floating value object dropped (0045)
             return result
         if "@type" in result and not isinstance(result["@type"], list):
             result["@type"] = [result["@type"]]
@@ -687,6 +733,10 @@ class Expander:
                 else ctx.language
             if lang:
                 result["@language"] = lang
+            direction = td.direction if td and td.direction is not None \
+                else ctx.direction
+            if direction:
+                result["@direction"] = direction
         return result
 
 
@@ -709,8 +759,10 @@ def _canonical_double(v: float) -> str:
 
 
 class _ToRdf:
-    def __init__(self, rdf_direction: Optional[str] = None):
+    def __init__(self, rdf_direction: Optional[str] = None,
+                 generalized: bool = False):
         self.rdf_direction = rdf_direction
+        self.generalized = generalized
         self.counter = 0
         self.bnode_map: Dict[str, str] = {}
         self.quads: List[Quad] = []
@@ -729,6 +781,8 @@ class _ToRdf:
     def _well_formed(iri: str) -> bool:
         if any(ch in iri for ch in ' \t\n\r<>"{}|^`'):
             return False
+        if iri.count("#") > 1:
+            return False  # second '#' inside a fragment (RFC 3986; e111)
         return _is_abs_iri(iri)
 
     def node_term(self, ident: str) -> Optional[Term]:
@@ -810,7 +864,7 @@ class _ToRdf:
                                              any(not k.startswith("@")
                                                  for k in item)):
                 nid = self.node_id(item)
-                nt = self.node_term(nid)
+                nt = self.node_term(nid) if nid is not None else None
                 if nt is not None:
                     self.quads.append(Quad(node, IRI(RDF_FIRST), nt, graph))
                     self.emit_node(item, graph, nid)
@@ -819,10 +873,14 @@ class _ToRdf:
             node = nxt
         return head
 
-    def node_id(self, node: dict) -> str:
+    def node_id(self, node: dict) -> Optional[str]:
         ident = node.get("@id")
         if isinstance(ident, str):
             return ident
+        if "@id" in node:
+            # explicit null @id (keyword-form @id, w3c 0122/e122): the node
+            # and every triple referencing it are dropped
+            return None
         fresh = "_:fresh" + str(len(self.bnode_map) + self.counter)
         node["@id"] = fresh
         return fresh
@@ -832,6 +890,8 @@ class _ToRdf:
         if "@value" in node or "@list" in node:
             return None
         ident = ident or self.node_id(node)
+        if ident is None:
+            return None
         if not (ident.startswith("_:") or _is_abs_iri(ident)):
             return None
         subject = self.node_term(ident)
@@ -864,10 +924,13 @@ class _ToRdf:
             if not (_is_abs_iri(prop) or prop.startswith("_:")):
                 continue
             if prop.startswith("_:"):
-                continue  # generalized RDF off (spec default)
-            if not self._well_formed(prop):
+                if not self.generalized:
+                    continue  # generalized RDF off (spec default)
+                pred: Term = self.bnode(prop[2:])
+            elif not self._well_formed(prop):
                 continue
-            pred = IRI(prop)
+            else:
+                pred = IRI(prop)
             for item in node[prop]:
                 obj = self.resolve_object(item, graph)
                 if obj is not None:
@@ -880,6 +943,8 @@ class _ToRdf:
         if "@value" in item or "@list" in item:
             return self.object_term(item, graph)
         ident = self.node_id(item)
+        if ident is None:
+            return None
         if not (ident.startswith("_:") or _is_abs_iri(ident)):
             return None
         term = self.node_term(ident)
@@ -911,7 +976,8 @@ def expand(text_or_doc, base: str = "", expand_context=None, loader=None):
 
 
 def to_rdf(text: str, base: str = "", expand_context=None,
-           rdf_direction: Optional[str] = None, loader=None
+           rdf_direction: Optional[str] = None, loader=None,
+           generalized: bool = False
            ) -> Tuple[List[Quad], List[ParseError]]:
     """Full-processor ToRDF: expansion + spec-numeric RDF deserialization.
     ``expand_context``: external context (parsed JSON) applied before the
@@ -924,7 +990,7 @@ def to_rdf(text: str, base: str = "", expand_context=None,
         return [], [e]
     except RecursionError:
         return [], [ParseError("max depth exceeded", code="ERR_DEPTH")]
-    conv = _ToRdf(rdf_direction=rdf_direction)
+    conv = _ToRdf(rdf_direction=rdf_direction, generalized=generalized)
     try:
         for node in expanded:
             if isinstance(node, dict):

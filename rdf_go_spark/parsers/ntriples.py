@@ -278,14 +278,19 @@ def _fast_line(line: str, quads: bool) -> Optional[Quad]:
     return Quad(s, IRI(pred), o, g)
 
 
-def _parse_core(line: str, allow_star: bool = False) -> Tuple[_Cursor, Term, IRI, Term]:
+def _parse_core(line: str, allow_star: bool = False,
+                generalized: bool = False) -> Tuple[_Cursor, Term, Term, Term]:
     cur = _Cursor(line, allow_star=allow_star)
     cur.skip_ws()
     subject = cur.parse_subject(allow_triple_term=allow_star)
     cur.skip_ws()
     if cur.startswith("<<"):
         raise cur.error("triple term cannot be used as predicate")
-    predicate = cur.parse_iri()
+    if generalized and cur.startswith("_:"):
+        # generalized RDF (produceGeneralizedRdf): bnode predicates allowed
+        predicate: Term = cur.parse_subject()
+    else:
+        predicate = cur.parse_iri()
     obj = cur.parse_object()
     return cur, subject, predicate, obj
 
@@ -308,7 +313,7 @@ def parse_ntriples_line(line: str, allow_star: bool = False) -> Optional[Quad]:
     return Quad(s, p, o, None)
 
 
-def parse_nquads_line(line: str) -> Optional[Quad]:
+def parse_nquads_line(line: str, generalized: bool = False) -> Optional[Quad]:
     """Parse one N-Quads line; None for blank/comment lines."""
     line = line.strip()
     if not line or line.startswith("#"):
@@ -316,7 +321,7 @@ def parse_nquads_line(line: str) -> Optional[Quad]:
     fast = _fast_line(line, quads=True)
     if fast is not None:
         return fast
-    cur, s, p, o = _parse_core(line)
+    cur, s, p, o = _parse_core(line, generalized=generalized)
     graph = cur.parse_optional_graph()
     cur.skip_ws()
     if not cur.consume("."):
@@ -330,7 +335,8 @@ def parse_nquads_line(line: str) -> Optional[Quad]:
 def parse_document(text: str, quads: bool = False,
                    max_line_bytes: int = 1 << 20,
                    max_triples: int = 0,
-                   allow_star: bool = False) -> Tuple[List[Quad], List[ParseError]]:
+                   allow_star: bool = False,
+                   generalized: bool = False) -> Tuple[List[Quad], List[ParseError]]:
     """Parse a whole N-Triples/N-Quads document.
 
     Returns (statements, errors); errors carry line numbers so callers can
@@ -339,7 +345,7 @@ def parse_document(text: str, quads: bool = False,
     """
     if quads:
         def parse(line):
-            return parse_nquads_line(line)
+            return parse_nquads_line(line, generalized=generalized)
     else:
         def parse(line):
             return parse_ntriples_line(line, allow_star=allow_star)
