@@ -1005,3 +1005,194 @@ def to_rdf(text: str, base: str = "", expand_context=None,
             seen.add(q)
             out.append(q)
     return out, []
+
+
+# ---------------------------------------------------------------------------
+# Serialize RDF as JSON-LD (the FromRDF direction)
+# ---------------------------------------------------------------------------
+
+_RDF_LIST = RDF_NS + "List"
+_RDF_VALUE = RDF_NS + "value"
+_RDF_LANGUAGE = RDF_NS + "language"
+_RDF_DIRECTION = RDF_NS + "direction"
+_I18N_NS = "https://www.w3.org/ns/i18n#"
+_INT_RE = re.compile(r"^[+-]?[0-9]+$")
+
+
+def _term_ident(t: Term) -> str:
+    return t.value if isinstance(t, IRI) else "_:" + t.id
+
+
+def _rdf_to_object(o: Term, use_native_types: bool,
+                   rdf_direction: Optional[str]) -> dict:
+    """Spec "RDF to Object" conversion: one RDF term → one expanded
+    JSON-LD object."""
+    if isinstance(o, (IRI, BlankNode)):
+        return {"@id": _term_ident(o)}
+    lex, dt, lang = o.lexical, o.datatype, o.lang
+    if lang:
+        # RDF 1.2 directional language tags render as "lang--dir"
+        base_lang, _, direction = lang.partition("--")
+        r: Dict[str, Any] = {"@value": lex, "@language": base_lang}
+        if direction:
+            r["@direction"] = direction
+        return r
+    dt = dt or XSD_STRING
+    if use_native_types:
+        if dt == XSD_BOOLEAN and lex in ("true", "1"):
+            return {"@value": True}
+        if dt == XSD_BOOLEAN and lex in ("false", "0"):
+            return {"@value": False}
+        if dt == XSD_INTEGER and _INT_RE.match(lex):
+            return {"@value": int(lex)}
+        if dt == XSD_DOUBLE:
+            try:
+                v = float(lex)
+                if math.isfinite(v):
+                    return {"@value": v}
+            except ValueError:
+                pass
+    if dt == RDF_NS + "JSON":
+        try:
+            return {"@value": json.loads(lex), "@type": "@json"}
+        except ValueError:
+            pass
+    if rdf_direction == "i18n-datatype" and dt.startswith(_I18N_NS):
+        frag = dt[len(_I18N_NS):]
+        blang, _, direction = frag.partition("_")
+        r = {"@value": lex}
+        if blang:
+            r["@language"] = blang
+        if direction:
+            r["@direction"] = direction
+        return r
+    if dt == XSD_STRING:
+        return {"@value": lex}
+    return {"@value": lex, "@type": dt}
+
+
+def from_rdf(quads: List[Quad], use_native_types: bool = False,
+             use_rdf_type: bool = False,
+             rdf_direction: Optional[str] = None,
+             ordered: bool = True) -> List[dict]:
+    """Serialize an RDF dataset as expanded JSON-LD — the spec "Serialize
+    RDF as JSON-LD" algorithm, with rdf:List reassembly into @list and
+    optional i18n / compound-literal direction recovery. Reference
+    analogue: JSONLDProcessor.FromRDF (rdf/jsonld_api.go:75) via json-gold.
+    Blank node labels from the input dataset are preserved verbatim."""
+    default_graph: Dict[str, dict] = {}
+    graph_map: Dict[str, Dict[str, dict]] = {"@default": default_graph}
+    referenced_once: Dict[str, Any] = {}
+    compound_subjects: Dict[str, List[str]] = {}
+    usages: Dict[Tuple[str, str], List[dict]] = {}  # (graph, nodeid)
+
+    seen: set = set()
+    for q in quads:
+        if not isinstance(q.s, (IRI, BlankNode)) or not isinstance(q.p, IRI):
+            continue  # triple terms are out of scope for serialization
+        if q in seen:
+            continue  # an RDF dataset is a SET (w3c fromRdf 0022)
+        seen.add(q)
+        gname = "@default" if q.g is None else _term_ident(q.g)
+        node_map = graph_map.setdefault(gname, {})
+        if gname != "@default":
+            default_graph.setdefault(gname, {"@id": gname})
+        s = _term_ident(q.s)
+        p = q.p.value
+        node = node_map.setdefault(s, {"@id": s})
+        o_node = isinstance(q.o, (IRI, BlankNode))
+        oid = _term_ident(q.o) if o_node else None
+        if o_node:
+            node_map.setdefault(oid, {"@id": oid})
+        if rdf_direction == "compound-literal" and p == _RDF_DIRECTION:
+            compound_subjects.setdefault(gname, []).append(s)
+        if p == RDF_TYPE and o_node and not use_rdf_type:
+            types = node.setdefault("@type", [])
+            if oid not in types:
+                types.append(oid)
+            continue
+        value = _rdf_to_object(q.o, use_native_types, rdf_direction)
+        vals = node.setdefault(p, [])
+        # dedup must distinguish bool from int (json.dumps does; Python ==
+        # treats 1 == True — w3c fromRdf 0018); keep the stored object's
+        # identity so the @list rewrite mutates in place
+        vkey = json.dumps(value, sort_keys=True)
+        existing = next((v for v in vals
+                         if json.dumps(v, sort_keys=True) == vkey), None)
+        if existing is not None:
+            value = existing
+        else:
+            vals.append(value)
+        if oid == RDF_NIL:
+            usages.setdefault((gname, oid), []).append(
+                {"node": node, "property": p, "value": value})
+        elif oid in referenced_once:
+            referenced_once[oid] = False
+        elif o_node and oid.startswith("_:"):
+            referenced_once[oid] = {"node": node, "property": p,
+                                    "value": value}
+
+    # compound-literal conversion (di09-di12)
+    for gname, cls in compound_subjects.items():
+        node_map = graph_map[gname]
+        for cl in cls:
+            entry = referenced_once.get(cl)
+            if not isinstance(entry, dict):
+                continue
+            cl_node = node_map.pop(cl, None)
+            if cl_node is None:
+                continue
+            value = entry["value"]
+            value.pop("@id", None)
+            vv = cl_node.get(_RDF_VALUE, [{}])[0]
+            value["@value"] = vv.get("@value")
+            langs = cl_node.get(_RDF_LANGUAGE)
+            if langs:
+                value["@language"] = str(langs[0].get("@value", "")).lower()
+            dirs = cl_node.get(_RDF_DIRECTION)
+            if dirs:
+                value["@direction"] = dirs[0].get("@value")
+
+    # rdf:List → @list reassembly
+    def _is_list_node(n: dict) -> bool:
+        keys = set(n) - {"@id"}
+        if n.get("@type") not in (None, [_RDF_LIST]):
+            return False
+        keys.discard("@type")
+        return keys == {RDF_FIRST, RDF_REST} and \
+            len(n[RDF_FIRST]) == 1 and len(n[RDF_REST]) == 1
+
+    for gname, node_map in graph_map.items():
+        for usage in usages.get((gname, RDF_NIL), []):
+            node, prop, head = usage["node"], usage["property"], \
+                usage["value"]
+            lst: List[dict] = []
+            list_nodes: List[str] = []
+            while prop == RDF_REST and node["@id"].startswith("_:") and \
+                    isinstance(referenced_once.get(node["@id"]), dict) and \
+                    _is_list_node(node):
+                lst.append(node[RDF_FIRST][0])
+                list_nodes.append(node["@id"])
+                nxt = referenced_once[node["@id"]]
+                node, prop, head = nxt["node"], nxt["property"], \
+                    nxt["value"]
+                if not node["@id"].startswith("_:"):
+                    break
+            head.pop("@id", None)
+            head["@list"] = list(reversed(lst))
+            for nid in list_nodes:
+                node_map.pop(nid, None)
+
+    # assemble: default-graph nodes, named graphs nested under @graph
+    result: List[dict] = []
+    subjects = sorted(default_graph) if ordered else list(default_graph)
+    for subject in subjects:
+        node = default_graph[subject]
+        if subject in graph_map and subject != "@default":
+            gm = graph_map[subject]
+            gsubs = sorted(gm) if ordered else list(gm)
+            node["@graph"] = [gm[gs] for gs in gsubs
+                              if set(gm[gs]) != {"@id"}]
+        if set(node) != {"@id"}:
+            result.append(node)
+    return result

@@ -189,31 +189,71 @@ def test_w3c_expand_manifest_floor():
 
 
 FROMRDF = "/root/reference/w3c-tests/jsonld/fromRdf"
+FROMRDF_MANIFEST = "/root/reference/w3c-tests/jsonld/fromRdf-manifest.jsonld"
+FROMRDF_FLOOR = 49  # 50/50 of the 1.1 suite as of round 2
 
 
-@pytest.mark.skipif(not os.path.isdir(FROMRDF), reason="fixtures unavailable")
-def test_fromrdf_differential_roundtrip_floor():
-    """fromRdf differential: the suite's expected JSON-LD docs must
-    deserialize (via our full processor) back to the input graph, and OUR
-    JSON-LD encoder's output must round-trip the same way. 45/51 at last
-    count (rest hit spec-serializer options we don't model)."""
-    from rdf_go_spark.encoders import encode_jsonld
+@pytest.mark.skipif(not os.path.exists(FROMRDF_MANIFEST),
+                    reason="manifest unavailable")
+def test_w3c_fromrdf_manifest_floor():
+    """from_rdf (Serialize RDF as JSON-LD) vs the W3C fromRdf suite —
+    direct output comparison with per-test options (useNativeTypes,
+    useRdfType, rdfDirection). Reference analogue:
+    JSONLDProcessor.FromRDF (rdf/jsonld_api.go:75)."""
+    from rdf_go_spark.parsers.jsonld_full import from_rdf
 
-    ok = enc_ok = total = 0
+    man = json.load(open(FROMRDF_MANIFEST))
+    opts = {e["input"].split("/")[-1]: e.get("option", {})
+            for e in man["sequence"] if "input" in e}
+
+    def norm(x):
+        if isinstance(x, dict):
+            return {k: norm(v) for k, v in x.items()}
+        if isinstance(x, list):
+            return sorted(json.dumps(norm(v), sort_keys=True) for v in x)
+        return x
+
+    ok = total = 0
+    failures = []
     for f in sorted(glob.glob(FROMRDF + "/*-in.nq")):
         ep = f.replace("-in.nq", "-out.jsonld")
         if not os.path.exists(ep):
             continue
+        name = os.path.basename(f)
+        o = opts.get(name, {})
+        if o.get("specVersion") == "json-ld-1.0":
+            continue  # 1.0 list-serialization rules conflict with 1.1
         total += 1
         quads, errs = parse_document(open(f).read(), quads=True)
         if errs:
+            failures.append((name, "input parse"))
             continue
-        exp_quads, e2 = to_rdf(open(ep).read())
         try:
-            if not e2 and isomorphic(list(set(quads)), list(set(exp_quads))):
+            got = from_rdf(quads,
+                           use_native_types=o.get("useNativeTypes", False),
+                           use_rdf_type=o.get("useRdfType", False),
+                           rdf_direction=o.get("rdfDirection"))
+            if norm(got) == norm(json.load(open(ep))):
                 ok += 1
-        except RecursionError:
-            pass
+            else:
+                failures.append((name, "mismatch"))
+        except Exception as ex:  # noqa: BLE001 — counted
+            failures.append((name, type(ex).__name__))
+    assert ok >= FROMRDF_FLOOR, (
+        f"fromRdf suite regressed: {ok}/{total}; first: {failures[:10]}")
+
+
+@pytest.mark.skipif(not os.path.isdir(FROMRDF), reason="fixtures unavailable")
+def test_fromrdf_encoder_differential_roundtrip():
+    """Differential: OUR JSON-LD encoder's output for each fixture graph
+    must deserialize (via our full processor) back to the same graph."""
+    from rdf_go_spark.encoders import encode_jsonld
+
+    enc_ok = 0
+    for f in sorted(glob.glob(FROMRDF + "/*-in.nq")):
+        quads, errs = parse_document(open(f).read(), quads=True)
+        if errs:
+            continue
         if all(q.g is None for q in quads):
             ours, e3 = to_rdf(encode_jsonld(quads))
             try:
@@ -221,8 +261,46 @@ def test_fromrdf_differential_roundtrip_floor():
                     enc_ok += 1
             except RecursionError:
                 pass
-    assert ok >= 44, f"expected-doc round trip regressed: {ok}/{total}"
     assert enc_ok >= 44, f"encoder round trip regressed: {enc_ok}"
+
+
+class TestFromRdfUnits:
+    def test_list_reassembly(self):
+        from rdf_go_spark.parsers.jsonld_full import from_rdf
+        quads, _ = parse_document(
+            '<http://e/s> <http://e/p> _:l0 .\n'
+            '_:l0 <' + 'http://www.w3.org/1999/02/22-rdf-syntax-ns#first'
+            + '> "a" .\n'
+            '_:l0 <' + 'http://www.w3.org/1999/02/22-rdf-syntax-ns#rest'
+            + '> <http://www.w3.org/1999/02/22-rdf-syntax-ns#nil> .\n')
+        out = from_rdf(quads)
+        assert out == [{"@id": "http://e/s",
+                        "http://e/p": [{"@list": [{"@value": "a"}]}]}]
+
+    def test_native_types_bool_int_distinct(self):
+        # json round-trip must not merge {"@value": 1} into {"@value": true}
+        from rdf_go_spark.parsers.jsonld_full import from_rdf
+        nq = ('<http://e/s> <http://e/p> "true"^^'
+              '<http://www.w3.org/2001/XMLSchema#boolean> .\n'
+              '<http://e/s> <http://e/p> "1"^^'
+              '<http://www.w3.org/2001/XMLSchema#integer> .\n')
+        quads, _ = parse_document(nq)
+        out = from_rdf(quads, use_native_types=True)
+        vals = out[0]["http://e/p"]
+        assert {"@value": True} in vals
+        assert any(v == {"@value": 1} and
+                   not isinstance(v["@value"], bool) for v in vals)
+
+    def test_fromrdf_tordf_roundtrip(self):
+        from rdf_go_spark.parsers.jsonld_full import from_rdf
+        nq = ('<http://e/s> <http://e/p> "x"@en .\n'
+              '<http://e/s> <http://e/q> _:b1 .\n'
+              '_:b1 <http://e/r> "2"^^'
+              '<http://www.w3.org/2001/XMLSchema#integer> .\n')
+        quads, _ = parse_document(nq)
+        back, errs = to_rdf(json.dumps(from_rdf(quads)))
+        assert not errs
+        assert isomorphic(list(set(quads)), list(set(back)))
 
 
 class TestScopedContextSemantics:
