@@ -168,7 +168,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def _build_oracles() -> dict[str, str]:
     from rdf_go_spark.operators import dedup, multimodal, textstats
     from rdf_go_spark.operators.similarity import (
-        cosine_topk_oracle, label_centroids_oracle,
+        cosine_topk_oracle, ivf_ann_oracle, label_centroids_oracle,
+        lsh_ann_oracle,
     )
     from rdf_go_spark.plans import analytics as A
     from rdf_go_spark.plans.oracles import kg_oracles
@@ -187,6 +188,8 @@ def _build_oracles() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle(),
         "emb_cosine_topk": cosine_topk_oracle(),
+        "emb_lsh_ann": lsh_ann_oracle(),
+        "emb_ivf_ann": ivf_ann_oracle(),
         "emb_label_centroids": label_centroids_oracle(),
         "media_metadata": multimodal.media_metadata_oracle(),
         "pricing_summary": A.q_pricing_summary_oracle(),
@@ -195,8 +198,6 @@ def _build_oracles() -> dict[str, str]:
         "sessionize_events": A.q_sessionize_events_oracle(),
         "orders_without_lineitems": A.q_orders_without_lineitems_oracle(),
         "repeat_buyers": A.q_repeat_buyers_oracle(),
-        # emb_lsh_ann: pseudo-random hyperplanes — no SQL oracle;
-        # recall vs brute force is asserted in tests/test_training_ops.py
     })
     return oracles
 

@@ -318,17 +318,41 @@ FROM {table} d LEFT JOIN vals v ON v.doc_id = d.doc_id
 
 
 def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance — the O(n²) verify kernel;
-    at scale, pre-bucket by 4 16-bit simhash segments first (same trick as
-    LSH banding)."""
+    """Near-dup pairs by SimHash Hamming distance, banded for scale.
+
+    Pigeonhole: the 60-bit simhash splits into ``max_hamming + 1``
+    segments; any pair within Hamming ``max_hamming`` must agree exactly
+    on at least one segment. So candidates come from an EQUI-join on
+    (band, segment-key) — a hash-partitioned shuffle join, never a
+    cartesian — then the exact Hamming filter keeps the output identical
+    to the all-pairs definition (the SQL oracle still states it that way).
+    """
+    n_bands = max_hamming + 1
+    seg_bits = SIMHASH_BITS // n_bands  # 60 bits -> 4 x 15-bit segments
+    seg_mask = (1 << seg_bits) - 1
     sh = simhash(docs).withColumn("v", F.conv("simhash", 16, 10).cast("long"))
-    a, b = sh.alias("a"), sh.alias("b")
-    return (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-            .withColumn("hamming", F.bit_count(
-                F.col("a.v").bitwiseXOR(F.col("b.v"))))
-            .filter(F.col("hamming") <= max_hamming)
+    segs = sh.select(
+        "doc_id", "v",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright(F.col("v"), i * seg_bits)
+                .bitwiseAND(F.lit(seg_mask)).alias("key"))
+            for i in range(n_bands)])).alias("bk")) \
+        .select("doc_id", "v", F.col("bk.band").alias("band"),
+                F.col("bk.key").alias("key"))
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                   (F.col("a.key") == F.col("b.key")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"),
+                    F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+            .dropDuplicates(["doc_a", "doc_b"]))
+    return (cand.withColumn("hamming", F.bit_count(
+                F.col("va").bitwiseXOR(F.col("vb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("doc_a", "doc_b",
                     F.col("hamming").cast("int").alias("hamming")))
 
 

@@ -152,50 +152,127 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
                     F.col("rank").cast("int").alias("rank")))
 
 
+def lsh_ann_oracle(table: str = "embeddings", n_queries: int = 20,
+                   k: int = 5, dim: int = 64) -> str:
+    """DuckDB oracle for lsh_ann_topk: the hyperplanes are deterministic
+    md5-derived integers, so they inline as literal arrays —
+    list_dot_product sign == the numpy matmul sign (both f64)."""
+    planes = _plane_matrix(dim)
+    sig_terms = []
+    for j in range(N_PLANES):
+        arr = "[" + ", ".join(str(int(x)) for x in planes[j]) + "]"
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)")
+    bucket_expr = "\n     + ".join(sig_terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+sig AS (
+  SELECT vec_id, v,
+       {bucket_expr} AS bucket
+  FROM e),
+q AS (SELECT vec_id AS query_id, v AS q, bucket AS qbucket
+      FROM sig WHERE vec_id < {n_queries}),
+scored AS (
+  SELECT q.query_id, s.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.q, s.v), 4) AS cosine
+  FROM q JOIN sig s ON s.bucket = q.qbucket AND s.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank
+FROM scored
+QUALIFY rank <= {k}
+""".strip()
+
+
+KMEANS_ITERS = 3
+KMEANS_SAMPLE_MOD = 5  # deterministic ~20% sample: vec_id % 5 == 0
+
+
+def _dist(a, b):
+    """Squared euclidean distance as a sequential fold (no sqrt — argmin
+    is invariant; avoids one more rounding step vs the SQL oracle)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kmeans_centroids(emb: DataFrame, nlist: int = 10,
+                     iters: int = KMEANS_ITERS,
+                     sample_mod: int = KMEANS_SAMPLE_MOD):
+    """Deterministic sampled k-means (Lloyd): init = the ``nlist``
+    lowest-vec_id sample vectors, then ``iters`` assign/update rounds on
+    the sample only. Per-dim means use exact DECIMAL sums (order-
+    independent → a SQL oracle reproduces them bit-for-bit), rounded to
+    6 dp. Returns a Python list[(cell, centroid)] — nlist×dim doubles, a
+    legitimate driver-side table that is re-broadcast each iteration
+    (the Spark-MLlib k-means shape). Empty cells drop identically in
+    both engines."""
+    sample = (emb.filter(F.col("vec_id") % sample_mod == 0)
+              .select("vec_id",
+                      F.transform("e", lambda x: F.round(x, 6)).alias("v")))
+    init_rows = sample.orderBy("vec_id").limit(nlist).collect()
+    cents = [(i, [float(x) for x in r.v]) for i, r in enumerate(init_rows)]
+    spark = emb.sparkSession
+    for _ in range(iters):
+        cdf = spark.createDataFrame(cents, "cell int, centroid array<double>")
+        assigned = (sample.crossJoin(F.broadcast(cdf))
+                    .withColumn("d", _dist(F.col("v"), F.col("centroid"))))
+        w = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
+                                                 F.col("cell").asc())
+        members = (assigned.withColumn("rn", F.row_number().over(w))
+                   .filter(F.col("rn") == 1).select("cell", "v"))
+        new_rows = (members.select("cell",
+                                   F.posexplode("v").alias("dim", "val"))
+                    .groupBy("cell", "dim")
+                    .agg(F.round(
+                        F.sum(F.col("val").cast("decimal(27,6)"))
+                        .cast("double") / F.count("*"), 6).alias("c"))
+                    .groupBy("cell")
+                    .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
+                         .getField("c").alias("centroid"))
+                    .collect())
+        cents = [(int(r.cell), [float(x) for x in r.centroid])
+                 for r in sorted(new_rows, key=lambda r: r.cell)]
+    return cents
+
+
 def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
                  nlist: int = 10, nprobe: int = 3) -> DataFrame:
-    """IVF-style ANN: coarse quantization into ``nlist`` cells, query
-    probes the ``nprobe`` nearest cells, exact cosine within probed cells.
+    """IVF-style ANN: coarse quantization into ``nlist`` k-means cells,
+    query probes the ``nprobe`` nearest cells, exact cosine within probed
+    cells.
 
-    Cell centroids are derived deterministically from the data itself
-    (per-label means — a stand-in for k-means; on a real corpus run a few
-    Lloyd iterations on a sample and broadcast the table). All joins are
-    bucket-equi with a broadcast centroid table — the cross product never
-    materializes (the IVF scale property).
+    Centroids come from deterministic sampled k-means (kmeans_centroids) —
+    sample → Lloyd iterations → broadcast; no dependence on any label
+    column. All joins are bucket-equi with a broadcast centroid table —
+    the cross product never materializes (the IVF scale property).
     """
     emb = embeddings.select(
-        "vec_id", "label",
+        "vec_id",
         F.col("embedding").cast("array<double>").alias("e"))
-    # centroid table (tiny) — collect + rebroadcast as literal arrays
-    cent_rows = (emb.select("label", F.posexplode("e").alias("dim", "val"))
-                 .groupBy("label", "dim").agg(F.avg("val").alias("c"))
-                 .groupBy("label")
-                 .agg(F.array_sort(F.collect_list(F.struct("dim", "c")))
-                      .getField("c").alias("centroid"))
-                 .collect())
     spark = embeddings.sparkSession
     cents = spark.createDataFrame(
-        [(int(r.label) % nlist, [float(x) for x in r.centroid])
-         for r in cent_rows], "cell int, centroid array<double>")
+        kmeans_centroids(emb, nlist=nlist),
+        "cell int, centroid array<double>")
 
-    def _dist(a, b):
-        return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-                           F.lit(0.0), lambda acc, x: acc + x)
-
-    # assign every vector to its nearest cell
+    # assign every vector to its nearest cell (quantized view for the
+    # assignment so it matches the oracle; original e for scoring)
+    emb = emb.withColumn("v", F.transform("e", lambda x: F.round(x, 6)))
     assigned = (emb.crossJoin(F.broadcast(cents))
-                .withColumn("d", _dist(F.col("e"), F.col("centroid"))))
+                .withColumn("d", _dist(F.col("v"), F.col("centroid"))))
     w_assign = Window.partitionBy("vec_id").orderBy(F.col("d").asc(),
                                                     F.col("cell").asc())
     cells = (assigned.withColumn("rn", F.row_number().over(w_assign))
              .filter(F.col("rn") == 1)
-             .select("vec_id", "e", "cell"))
+             .select("vec_id", "e", "v", "cell"))
     # queries probe their nprobe nearest cells
     queries = (cells.filter(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("e").alias("q")))
+                       F.col("e").alias("q"),
+                       F.col("v").alias("qv")))
     probes = (queries.crossJoin(F.broadcast(cents))
-              .withColumn("d", _dist(F.col("q"), F.col("centroid"))))
+              .withColumn("d", _dist(F.col("qv"), F.col("centroid"))))
     w_probe = Window.partitionBy("query_id").orderBy(F.col("d").asc(),
                                                      F.col("cell").asc())
     probe_cells = (probes.withColumn("rn", F.row_number().over(w_probe))
@@ -213,6 +290,80 @@ def ivf_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def ivf_ann_oracle(table: str = "embeddings", n_queries: int = 20,
+                   k: int = 5, nlist: int = 10, nprobe: int = 3,
+                   dim: int = 64, iters: int = KMEANS_ITERS,
+                   sample_mod: int = KMEANS_SAMPLE_MOD) -> str:
+    """DuckDB oracle for ivf_ann_topk: replays the deterministic sampled
+    k-means (same init, same Lloyd iterations, same exact-DECIMAL means)
+    then the probed-cell search. Cross-engine determinism: per-dim means
+    are exact DECIMAL sums cast to double; inputs are quantized to 6 dp;
+    distance ties break on cell ASC."""
+    def dist(a, b):
+        return (f"list_sum(list_transform(list_zip({a}, {b}), "
+                f"x -> (x[1] - x[2]) * (x[1] - x[2])))")
+
+    parts = [f"""
+samp AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+  FROM {table} WHERE vec_id % {sample_mod} = 0),
+c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell,
+         v AS centroid
+  FROM samp QUALIFY row_number() OVER (ORDER BY vec_id) <= {nlist})"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f"""
+a{i} AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT s.vec_id, s.v, c.cell,
+           row_number() OVER (PARTITION BY s.vec_id ORDER BY
+             {dist('s.v', 'c.centroid')} ASC, c.cell ASC) AS rn
+    FROM samp s CROSS JOIN {prev} c)
+  WHERE rn = 1),
+c{i} AS (
+  SELECT cell, list(c ORDER BY dim) AS centroid FROM (
+    SELECT a.cell, t.i - 1 AS dim,
+           round(CAST(sum(CAST(a.v[t.i] AS DECIMAL(27,6))) AS DOUBLE)
+                 / count(*), 6) AS c
+    FROM a{i} a, generate_series(1, {dim}) t(i)
+    GROUP BY a.cell, dim)
+  GROUP BY cell)""")
+    final = f"c{iters}"
+    parts.append(f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS ev,
+             list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS v
+      FROM {table}),
+cells AS (
+  SELECT vec_id, ev, v, cell FROM (
+    SELECT e.vec_id, e.ev, e.v, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             {dist('e.v', 'c.centroid')} ASC, c.cell ASC) AS rn
+    FROM e CROSS JOIN {final} c)
+  WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, ev AS q, v AS qv
+      FROM cells WHERE vec_id < {n_queries}),
+probes AS (
+  SELECT query_id, q, cell FROM (
+    SELECT q.query_id, q.q, c.cell,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             {dist('q.qv', 'c.centroid')} ASC, c.cell ASC) AS rn
+    FROM q CROSS JOIN {final} c)
+  WHERE rn <= {nprobe}),
+scored AS (
+  SELECT p.query_id, s.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.q, s.ev), 4) AS cosine
+  FROM probes p JOIN cells s USING (cell)
+  WHERE s.vec_id <> p.query_id)""")
+    body = ",".join(parts)
+    return f"""WITH {body.lstrip()}
+SELECT query_id, neighbor_id, cosine,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cosine DESC, neighbor_id ASC)::INT AS rank
+FROM scored
+QUALIFY rank <= {k}""".strip()
 
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:

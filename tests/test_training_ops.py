@@ -120,6 +120,19 @@ class TestPlanShape:
         assert plan.count("Exchange") <= 2
         assert "HashAggregate" in plan
 
+    def test_simhash_pairs_plan_has_no_cartesian(self, spark):
+        """Banded simhash candidates come from an equi-join on
+        (band, segment); the plan must not contain a cartesian/nested-loop
+        product (that was the pre-banding O(n²) shape)."""
+        from rdf_go_spark.operators.dedup import simhash_pairs
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        plan = simhash_pairs(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
+            "BroadcastHashJoin" in plan
+
     def test_pricing_summary_pushes_filter_to_scan(self, spark):
         from rdf_go_spark.plans.analytics import q_pricing_summary
         plan = q_pricing_summary(spark, SMOKE)._jdf.queryExecution() \
