@@ -63,10 +63,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
     to tokens; >= 0.05 → 'en', else 'unk'. (A real model is out of scope;
     the shape — pure column expr, broadcastable wordlist — is the point.)"""
     toks = F.size(F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), ""))
-    hits = F.size(F.array_remove(
-        F.split(F.regexp_replace(F.lower(F.col("text")), _EN_RE, "\x01"),
-                "\x01"), "")) - 1
-    # hits = number of stopword matches = splits minus one
+    # stopword matches = split-count minus one (pure column expression)
     hits = F.size(F.split(F.lower(F.col("text")), _EN_RE)) - 1
     ratio = F.round(hits / F.greatest(toks, F.lit(1)), 6)
     return docs.select(

@@ -97,12 +97,38 @@ class TestAlgorithmic:
         media = synth_media(docs)
         row = media.first()
         assert isinstance(row.payload, (bytes, bytearray))
-        assert len(row.payload) == 32
-        assert row.mime.endswith("/synthetic")
+        assert row.mime in ("image/png", "audio/wav", "video/synthetic")
+        if row.mime == "image/png":
+            assert bytes(row.payload)[:8] == b"\x89PNG\r\n\x1a\n"
+        elif row.mime == "audio/wav":
+            assert bytes(row.payload)[:4] == b"RIFF"
+        else:
+            assert len(row.payload) == 32
 
     def test_decode_stub_is_marked(self):
         from rdf_go_spark.operators import multimodal
         assert "STUB" in multimodal._decode_stub.__doc__
+
+    def test_real_decoders_on_genuine_files(self):
+        """PNG IHDR and WAV header decoders parse real files (built with
+        stdlib), not just the synthetic payloads."""
+        import io
+        import struct
+        import wave
+        from rdf_go_spark.operators.multimodal import _decode_png, _decode_wav
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(22050)
+        w.writeframes(b"\x00\x01" * 4)
+        w.close()
+        assert _decode_wav(buf.getvalue()) == (22050, 2)
+        png = (bytes.fromhex("89504e470d0a1a0a0000000d49484452")
+               + struct.pack(">II", 640, 480) + bytes(5))
+        assert _decode_png(png) == (640, 480)
+        assert _decode_png(b"notapng") is None
+        assert _decode_wav(b"notawav") is None
 
 
 class TestPlanShape:
@@ -132,6 +158,18 @@ class TestPlanShape:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or \
             "BroadcastHashJoin" in plan
+
+    def test_textstats_have_zero_python_stages(self, spark):
+        """lang_id and token_stats are pure column expressions — the plan
+        must contain no Python evaluation (BatchEvalPython / ArrowEval /
+        MapInPandas / FlatMapGroupsInPandas)."""
+        from rdf_go_spark.operators.textstats import lang_id, token_stats
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        for fn in (lang_id, token_stats):
+            plan = fn(docs)._jdf.queryExecution().executedPlan().toString()
+            for marker in ("BatchEvalPython", "ArrowEvalPython",
+                           "MapInPandas", "FlatMapGroupsInPandas"):
+                assert marker not in plan, f"{fn.__name__}: {marker}"
 
     def test_pricing_summary_pushes_filter_to_scan(self, spark):
         from rdf_go_spark.plans.analytics import q_pricing_summary
