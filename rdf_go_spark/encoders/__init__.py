@@ -59,10 +59,12 @@ def _turtle_term(t: Term, prefixes: Dict[str, str]) -> str:
         abbr = _abbreviate(t.value, prefixes)
         return abbr if abbr is not None else render_iri(t.value)
     if isinstance(t, Literal) and t.datatype:
-        from ..terms import go_quote
+        # c14n_quote (as render_term uses) — go_quote's \v/\a/\xNN escapes
+        # are not legal Turtle ECHARs and our own parser rejects them
+        from ..terms import c14n_quote
         abbr = _abbreviate(t.datatype, prefixes)
         if abbr is not None:
-            return f"{go_quote(t.lexical)}^^{abbr}"
+            return f"{c14n_quote(t.lexical)}^^{abbr}"
     return render_term(t)
 
 
@@ -137,10 +139,20 @@ def encode_jsonld(quads: Iterable[Quad]) -> str:
 
     The reference's encoder iterates Go maps (non-deterministic key order,
     README.md:879-901); we sort keys so output is stable for free.
+    Named-graph quads become nested ``{"@id": g, "@graph": [...]}`` nodes
+    instead of being silently flattened into the default graph (the
+    reference encoder is triples-only, so it never had this hazard).
     """
-    nodes: Dict[str, dict] = {}
-    order: List[str] = []
+    # graph name -> (node order, nodes); None key = default graph
+    graphs: Dict[Optional[str], tuple] = {}
+    gorder: List[Optional[str]] = []
     for q in quads:
+        gid = None if q.g is None else (
+            q.g.value if isinstance(q.g, IRI) else f"_:{q.g.id}")
+        if gid not in graphs:
+            graphs[gid] = ([], {})
+            gorder.append(gid)
+        order, nodes = graphs[gid]
         sid = q.s.value if isinstance(q.s, IRI) else f"_:{q.s.id}"
         node = nodes.get(sid)
         if node is None:
@@ -155,7 +167,15 @@ def encode_jsonld(quads: Iterable[Quad]) -> str:
             existing.append(obj)
         else:
             node[q.p.value] = [existing, obj]
-    doc = {"@graph": [nodes[k] for k in order]}
+    top: List[dict] = []
+    for gid in gorder:
+        order, nodes = graphs[gid]
+        members = [nodes[k] for k in order]
+        if gid is None:
+            top.extend(members)
+        else:
+            top.append({"@id": gid, "@graph": members})
+    doc = {"@graph": top}
     return json.dumps(doc, sort_keys=True, ensure_ascii=False)
 
 

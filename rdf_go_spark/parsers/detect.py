@@ -15,7 +15,7 @@ from __future__ import annotations
 import re
 from typing import Callable, Dict, List, Optional, Tuple
 
-from ..terms import BlankNode, ParseError, Quad
+from ..terms import BlankNode, ParseError, Quad, TripleTerm
 from .jsonld import parse_jsonld
 from .ntriples import parse_document as parse_nt_document
 from .rdfxml import parse_rdfxml
@@ -97,12 +97,28 @@ PARSERS: Dict[str, Callable] = {
 }
 
 
+def _relabel_term(term, mapper):
+    if isinstance(term, BlankNode):
+        return BlankNode(mapper(term.id))
+    if isinstance(term, TripleTerm):
+        return TripleTerm(_relabel_term(term.s, mapper), term.p,
+                          _relabel_term(term.o, mapper))
+    return term
+
+
 def parse_any(text: str, fmt: Optional[str] = None, base: str = "",
               bnode_factory: Optional[Callable[[], BlankNode]] = None
               ) -> Tuple[List[Quad], List[ParseError], str]:
     """Parse with explicit or auto-detected format.
 
-    Returns (statements, errors, format_used)."""
+    Returns (statements, errors, format_used).
+
+    When ``bnode_factory`` is given, EVERY blank node — labeled (_:b0) and
+    anonymous alike, in all six formats including N-Triples/N-Quads — is
+    relabeled through a per-call label→factory map in statement order.
+    Labeled bnodes would otherwise keep their document-local labels and
+    silently merge distinct nodes when documents are unioned (the
+    parse_rdf_documents skolemization contract)."""
     if fmt:
         canon = parse_format(fmt)
         if canon is None:
@@ -113,5 +129,17 @@ def parse_any(text: str, fmt: Optional[str] = None, base: str = "",
         if canon is None:
             return [], [ParseError("cannot detect format",
                                    code="ERR_FORMAT")], ""
-    stmts, errs = PARSERS[canon](text, base, bnode_factory)
+    stmts, errs = PARSERS[canon](text, base, None)
+    if bnode_factory is not None:
+        label_map: Dict[str, str] = {}
+
+        def mapper(lbl: str) -> str:
+            if lbl not in label_map:
+                label_map[lbl] = bnode_factory().id
+            return label_map[lbl]
+
+        stmts = [Quad(_relabel_term(q.s, mapper), q.p,
+                      _relabel_term(q.o, mapper),
+                      None if q.g is None else _relabel_term(q.g, mapper))
+                 for q in stmts]
     return stmts, errs, canon

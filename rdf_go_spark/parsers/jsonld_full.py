@@ -118,8 +118,11 @@ class Expander:
                         if not has_scheme(item) else item
                     try:
                         doc = self.loader(url)
-                    except Exception:
-                        continue
+                    except Exception as ex:
+                        raise ParseError(
+                            "jsonld: loading remote context failed: "
+                            f"{url} ({type(ex).__name__})",
+                            code="ERR_REMOTE_CONTEXT") from ex
                     if isinstance(doc, dict) and "@context" in doc:
                         result = self.process_context(result, doc["@context"])
                 continue
@@ -129,8 +132,11 @@ class Expander:
                     isinstance(item["@import"], str):
                 try:
                     imported = self.loader(item["@import"])
-                except Exception:
-                    imported = None
+                except Exception as ex:
+                    raise ParseError(
+                        "jsonld: loading @import failed: "
+                        f"{item['@import']} ({type(ex).__name__})",
+                        code="ERR_REMOTE_CONTEXT") from ex
                 if isinstance(imported, dict):
                     ic = imported.get("@context", imported)
                     if isinstance(ic, dict):

@@ -74,7 +74,8 @@ def _sha256(s: str) -> str:
 
 
 class _Canonicalizer:
-    def __init__(self, quads: Sequence[Quad]):
+    def __init__(self, quads: Sequence[Quad],
+                 max_depth: Optional[int] = None):
         self.quads = list(quads)
         self.bnode_quads: Dict[str, List[Quad]] = {}
         for q in self.quads:
@@ -85,6 +86,11 @@ class _Canonicalizer:
             for bid in acc:
                 self.bnode_quads.setdefault(bid, []).append(q)
         self.canonical = _Issuer("c14n")
+        # poison guard scaled to the dataset: legitimate symmetric
+        # structures (e.g. a cycle of N indistinguishable bnodes) recurse
+        # up to ~N deep; a flat cap of 8 rejected them
+        self.max_depth = max_depth if max_depth is not None \
+            else max(64, 2 * len(self.bnode_quads))
 
     # -- 4.6 Hash First Degree Quads ------------------------------------
     def hash_first_degree(self, bid: str) -> str:
@@ -113,7 +119,7 @@ class _Canonicalizer:
     # -- 4.8 Hash N-Degree Quads -----------------------------------------
     def hash_n_degree(self, bid: str, issuer: _Issuer,
                       depth: int = 0) -> Tuple[str, _Issuer]:
-        if depth > 8:  # dataset poison guard (spec permits limits)
+        if depth > self.max_depth:  # poison guard (spec permits limits)
             raise ValueError("rdfc10: recursion limit exceeded")
         hn: Dict[str, List[str]] = {}
         for q in self.bnode_quads.get(bid, []):
@@ -195,9 +201,12 @@ class _Canonicalizer:
         return dict(self.canonical.issued)
 
 
-def canonicalize(quads: Sequence[Quad]) -> Tuple[List[str], Dict[str, str]]:
-    """RDFC-1.0: returns (sorted canonical N-Quads lines, bnode label map)."""
-    canon = _Canonicalizer(quads)
+def canonicalize(quads: Sequence[Quad],
+                 max_depth: Optional[int] = None
+                 ) -> Tuple[List[str], Dict[str, str]]:
+    """RDFC-1.0: returns (sorted canonical N-Quads lines, bnode label map).
+    ``max_depth`` overrides the scaled hash-n-degree recursion guard."""
+    canon = _Canonicalizer(quads, max_depth=max_depth)
     mapping = canon.run()
     lines = sorted(set(_ser_quad(q, mapping) for q in quads))
     return lines, mapping

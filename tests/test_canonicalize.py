@@ -78,3 +78,75 @@ class TestCanonicalLabels:
         rb = set(relabel(b, canonical_labels(b)))
         tp = len(ra & rb)
         assert tp / len(ra) == 1.0 and tp / len(rb) == 1.0
+
+
+class TestAdviceRegressions:
+    """Pinned fixes from the round-1 advisory review."""
+
+    def test_labeled_bnodes_skolemize_per_document(self):
+        # same _:b0 label in two docs must NOT collide after parse_any
+        # with a per-doc factory (cross-document union safety)
+        from rdf_go_spark.operators.parse_spark import _skolem_factory
+        from rdf_go_spark.parsers.detect import parse_any
+        nt = '_:b0 <http://e/p> "x" .\n'
+        s1, _, _ = parse_any(nt, fmt="nt", bnode_factory=_skolem_factory("A"))
+        s2, _, _ = parse_any(nt, fmt="nt", bnode_factory=_skolem_factory("B"))
+        assert s1[0].s != s2[0].s
+        # and the same label within one doc stays one node
+        nt2 = '_:b0 <http://e/p> _:b0 .\n_:b0 <http://e/q> "y" .\n'
+        s3, _, _ = parse_any(nt2, fmt="nt",
+                             bnode_factory=_skolem_factory("C"))
+        assert s3[0].s == s3[0].o == s3[1].s
+
+    def test_turtle_datatyped_control_char_roundtrips(self):
+        # \x0b in a datatyped literal abbreviated via a prefix: go_quote
+        # \v is not a Turtle ECHAR — must use the c14n form
+        from rdf_go_spark.encoders import encode_turtle
+        from rdf_go_spark.parsers.turtle import parse_turtle
+        from rdf_go_spark.terms import IRI, Literal, Quad
+        q = Quad(IRI("http://e/s"), IRI("http://e/p"),
+                 Literal("a\x0bb", datatype="http://e/dt"), None)
+        text = encode_turtle([q], prefixes={"e": "http://e/"})
+        stmts, errs = parse_turtle(text)
+        assert not errs
+        assert stmts[0].o.lexical == "a\x0bb"
+        assert stmts[0].o.datatype == "http://e/dt"
+
+    def test_jsonld_encoder_keeps_named_graphs(self):
+        import json as _json
+        from rdf_go_spark.encoders import encode_jsonld
+        from rdf_go_spark.parsers.jsonld_full import to_rdf
+        from rdf_go_spark.terms import IRI, Literal, Quad
+        quads = [
+            Quad(IRI("http://e/s"), IRI("http://e/p"), Literal("default"),
+                 None),
+            Quad(IRI("http://e/s"), IRI("http://e/p"), Literal("named"),
+                 IRI("http://e/G")),
+        ]
+        doc = _json.loads(encode_jsonld(quads))
+        graphs = [n for n in doc["@graph"] if "@graph" in n]
+        assert graphs and graphs[0]["@id"] == "http://e/G"
+        back, errs = to_rdf(encode_jsonld(quads))
+        assert not errs
+        assert sorted(str(q.g) for q in back) == ["<http://e/G>", "None"]
+
+    def test_remote_context_loader_failure_raises(self):
+        from rdf_go_spark.parsers.jsonld_full import to_rdf
+        doc = ('{"@context":"http://missing.example/ctx.jsonld",'
+               '"@id":"http://e/s","http://e/p":"x"}')
+
+        def loader(url):
+            raise IOError("boom")
+        quads, errs = to_rdf(doc, loader=loader)
+        assert errs and errs[0].code == "ERR_REMOTE_CONTEXT"
+
+    def test_rdfc10_symmetric_bnode_cycle(self):
+        # a 10-cycle of indistinguishable bnodes needs deep hash-n-degree
+        # recursion; the old flat cap of 8 rejected it
+        from rdf_go_spark.rdfc10 import canonicalize
+        from rdf_go_spark.terms import BlankNode, IRI, Quad
+        p = IRI("http://e/p")
+        quads = [Quad(BlankNode(f"n{i}"), p, BlankNode(f"n{(i + 1) % 10}"),
+                      None) for i in range(10)]
+        lines, mapping = canonicalize(quads)
+        assert len(lines) == 10 and len(mapping) == 10
