@@ -96,6 +96,8 @@ def _training_data_queries():
         # near-dup detection
         "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
+        "dedup_minhash_k128": lambda s, d: dedup.minhash_lsh_pairs(
+            _docs(s, d), k=dedup.MINHASH_K_PROD, bands=dedup.LSH_BANDS_PROD),
         "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
         "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
         "dedup_clusters": lambda s, d: __import__(
@@ -182,6 +184,8 @@ def _build_oracles() -> dict[str, str]:
         "doc_exact_dedup": textstats.exact_dedup_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
+        "dedup_minhash_k128": dedup.minhash_lsh_oracle(
+            k=dedup.MINHASH_K_PROD, bands=dedup.LSH_BANDS_PROD),
         "dedup_clusters": __import__(
             "rdf_go_spark.operators.components", fromlist=["x"])
             .dedup_clusters_oracle(dedup.minhash_lsh_oracle()),

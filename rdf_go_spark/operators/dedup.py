@@ -29,6 +29,10 @@ _TOKEN_RE = r"[^a-z0-9]+"
 MINHASH_K = 16
 LSH_BANDS = 4
 LSH_ROWS = 4  # MINHASH_K == LSH_BANDS * LSH_ROWS
+# production parameters (the standard 128-perm / 16-band / 8-row setting);
+# the wide-agg plan is identical — only the column count changes
+MINHASH_K_PROD = 128
+LSH_BANDS_PROD = 16
 
 
 def _hash64(col):
@@ -130,19 +134,21 @@ def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
     return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
-                      k: int = MINHASH_K, bands: int = LSH_BANDS) -> DataFrame:
-    """MinHash + banded LSH candidate generation + exact-Jaccard verify.
+def minhash_wide_signatures(sh: DataFrame, k: int = MINHASH_K,
+                            hash_family: str = "md5") -> DataFrame:
+    """Wide signature aggregation: k min-columns over ONE base hash per
+    shingle — no row explosion, map-side partial agg, a SINGLE shuffle of
+    k-wide rows instead of k x |shingles| rows. The plan shape is
+    independent of k (verified at k=128 in tests/bench).
 
-    shuffle plan: (doc,shingle)→(doc,i) partial-agg; band bucket groupBy;
-    candidate join; verify join — each keyed, AQE-coalesced.
-    """
-    rows = k // bands
-    sh = shingles(docs).cache()  # reused by signatures AND verify
-    # wide signature aggregation: k min-columns over ONE base hash per
-    # shingle — no row explosion, map-side partial agg, single shuffle of
-    # 5k-wide rows instead of k x |shingles| rows
-    based = sh.withColumn("x", _hash64(F.col("shingle")))
+    hash_family: "md5" = portable md5-derived uint64 (cross-engine oracle,
+    see _hash64); "xxhash64" = the production swap — JVM xxHash64, cheaper,
+    identical plan, same affine family over the base hash."""
+    if hash_family == "xxhash64":
+        base = F.xxhash64(F.col("shingle")).cast("decimal(20,0)")
+    else:
+        base = _hash64(F.col("shingle"))
+    based = sh.withColumn("x", base)
     p = F.lit(MERSENNE_61).cast("decimal(20,0)")
     sig_cols = [
         F.min(F.pmod(F.lit(2 * i + 3).cast("decimal(3,0)") * F.col("x")
@@ -150,7 +156,20 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
         .alias(f"sig{i}")
         for i in range(k)
     ]
-    wide = based.groupBy("doc_id").agg(*sig_cols)
+    return based.groupBy("doc_id").agg(*sig_cols)
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
+                      k: int = MINHASH_K, bands: int = LSH_BANDS,
+                      hash_family: str = "md5") -> DataFrame:
+    """MinHash + banded LSH candidate generation + exact-Jaccard verify.
+
+    shuffle plan: (doc,shingle)→(doc,i) partial-agg; band bucket groupBy;
+    candidate join; verify join — each keyed, AQE-coalesced.
+    """
+    rows = k // bands
+    sh = shingles(docs).cache()  # reused by signatures AND verify
+    wide = minhash_wide_signatures(sh, k=k, hash_family=hash_family)
     band_cols = [
         F.md5(F.concat_ws(",", *[
             F.col(f"sig{b * rows + r}").cast("string") for r in range(rows)]))

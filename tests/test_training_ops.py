@@ -171,6 +171,46 @@ class TestPlanShape:
                            "MapInPandas", "FlatMapGroupsInPandas"):
                 assert marker not in plan, f"{fn.__name__}: {marker}"
 
+    def test_minhash_wide_agg_single_shuffle_at_k128(self, spark):
+        """Production parameters (K=128, 16 bands): the wide signature
+        aggregation is still ONE shuffle — partial HashAggregate map-side,
+        final after a single Exchange; plan shape independent of k.
+        (plan strings truncate at 128 agg columns, so raise the debug
+        field limit and count the operator header explicitly)"""
+        from rdf_go_spark.operators.dedup import (
+            minhash_wide_signatures, shingles,
+        )
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+        spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+        try:
+            sh = shingles(docs)
+            base = sh._jdf.queryExecution().executedPlan().toString() \
+                .count("Exchange hashpartitioning")
+            wide = minhash_wide_signatures(sh, k=128)
+            plan = wide._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.debug.maxToStringFields", old)
+        assert plan.count("Exchange hashpartitioning") == base + 1
+        assert "HashAggregate" in plan
+
+    def test_minhash_xxhash64_family_equivalence(self, spark):
+        """The production hash swap (xxhash64 behind hash_family=) keeps
+        the LSH contract: precision 1.0 (verify step) and recall >= 0.7
+        vs exact pairs — same floors as the portable-md5 family."""
+        from rdf_go_spark.operators.dedup import (
+            minhash_lsh_pairs, ngram_jaccard_pairs,
+        )
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        exact = {(r.doc_a, r.doc_b)
+                 for r in ngram_jaccard_pairs(docs, 0.8).collect()}
+        xx = {(r.doc_a, r.doc_b)
+              for r in minhash_lsh_pairs(docs, 0.8,
+                                         hash_family="xxhash64").collect()}
+        assert xx <= exact
+        if exact:
+            assert len(xx & exact) / len(exact) >= 0.7
+
     def test_pricing_summary_pushes_filter_to_scan(self, spark):
         from rdf_go_spark.plans.analytics import q_pricing_summary
         plan = q_pricing_summary(spark, SMOKE)._jdf.queryExecution() \
