@@ -42,12 +42,14 @@ _NO_CTX = object()
 
 class _TermDef:
     __slots__ = ("iri", "type_mapping", "container", "language", "reverse",
-                 "prefix_flag", "local_ctx", "index_prop", "direction")
+                 "prefix_flag", "local_ctx", "index_prop", "direction",
+                 "nest", "protected")
 
 
     def __init__(self, iri, type_mapping=None, container=None, language=None,
                  reverse=False, prefix_flag=False, local_ctx=_NO_CTX,
-                 index_prop=None, direction=None):
+                 index_prop=None, direction=None, nest=None,
+                 protected=False):
         self.iri = iri
         self.type_mapping = type_mapping
         self.container = container or []
@@ -57,6 +59,8 @@ class _TermDef:
         self.local_ctx = local_ctx  # term-scoped @context (w3c c0xx tests)
         self.index_prop = index_prop  # property-based indexing (w3c pi0x)
         self.direction = direction  # None = inherit; "" = @null (w3c di0x)
+        self.nest = nest  # @nest target for compaction (1.1)
+        self.protected = protected  # @protected (1.1, w3c pr0x)
 
 
 class _Ctx:
@@ -82,6 +86,18 @@ class _Ctx:
         return c
 
 
+def _same_term_def(a: "_TermDef", b: "_TermDef") -> bool:
+    """Definition equality modulo @protected (protected terms may be
+    re-declared identically)."""
+    def key(td):
+        lc = None if td.local_ctx is _NO_CTX else \
+            json.dumps(td.local_ctx, sort_keys=True)
+        return (td.iri, td.type_mapping, tuple(sorted(td.container)),
+                td.language, td.reverse, td.prefix_flag, lc,
+                td.index_prop, td.direction, td.nest)
+    return key(a) == key(b)
+
+
 def _is_abs_iri(v: str) -> bool:
     return ":" in v and not v.startswith("_:")
 
@@ -91,22 +107,31 @@ def _is_keyword(v) -> bool:
 
 
 class Expander:
-    def __init__(self, base: str = "", loader=None):
+    def __init__(self, base: str = "", loader=None,
+                 processing_mode: str = "json-ld-1.1"):
         # loader: Callable[[str IRI], parsed JSON] — the DocumentLoader
         # analogue (reference: rdf/jsonld_api.go:60-62); used for remote
         # contexts and @import
         self.base = base
         self.loader = loader
+        self.processing_mode = processing_mode
 
     # ---- context processing ------------------------------------------
 
-    def process_context(self, active: _Ctx, local) -> _Ctx:
+    def process_context(self, active: _Ctx, local,
+                        override_protected: bool = False) -> _Ctx:
         result = active.copy()
         if local is None:
-            return _Ctx(self.base)
+            local = [None]
         items = local if isinstance(local, list) else [local]
         for item in items:
             if item is None:
+                if not override_protected and any(
+                        td is not None and td.protected
+                        for td in result.terms.values()):
+                    raise ParseError(
+                        "jsonld: invalid context nullification",
+                        code="ERR_PROTECTED")
                 result = _Ctx(self.base)
                 continue
             if isinstance(item, str):
@@ -143,6 +168,13 @@ class Expander:
                         # import merges under the importing context
                         item = {**ic, **{k: v for k, v in item.items()
                                          if k != "@import"}}
+            if "@version" in item:
+                if item["@version"] != 1.1:
+                    raise ParseError("jsonld: invalid @version value",
+                                     code="ERR_VERSION")
+                if self.processing_mode == "json-ld-1.0":
+                    raise ParseError("jsonld: processing mode conflict",
+                                     code="ERR_MODE")
             if "@base" in item:
                 v = item["@base"]
                 if v is None:
@@ -169,24 +201,50 @@ class Expander:
                            "@propagate", "@protected", "@import",
                            "@direction"):
                     continue
-                self.create_term(result, item, key, defined)
+                self.create_term(result, item, key, defined,
+                                 override_protected=override_protected)
         # a freshly processed (element- or property-scoped) context
         # propagates by default — clear any inherited type-scope marker
         result.previous = None
         return result
 
     def create_term(self, ctx: _Ctx, local: dict, term: str,
-                    defined: Dict[str, bool]) -> None:
+                    defined: Dict[str, bool],
+                    override_protected: bool = False) -> None:
         if term in defined:
             if defined[term]:
                 return
             raise ParseError("jsonld: cyclic IRI mapping")
         value = local.get(term)
+        if isinstance(value, dict):
+            if self.processing_mode == "json-ld-1.0" and \
+                    any(k in value for k in ("@prefix", "@nest", "@context")):
+                raise ParseError(
+                    "jsonld: term definition key not allowed in 1.0",
+                    code="ERR_TERMDEF")
+            if "@prefix" in value and not isinstance(value["@prefix"], bool):
+                raise ParseError("jsonld: invalid @prefix value",
+                                 code="ERR_TERMDEF")
+            if "@prefix" in value and (":" in term or "/" in term):
+                raise ParseError(
+                    "jsonld: @prefix on a compact-IRI-form term",
+                    code="ERR_TERMDEF")
+            if "@container" in value and \
+                    self.processing_mode == "json-ld-1.0":
+                cv = value["@container"]
+                if isinstance(cv, list) or cv in ("@id", "@type", "@graph"):
+                    raise ParseError(
+                        "jsonld: invalid container mapping for 1.0",
+                        code="ERR_CONTAINER")
         if term == "@type":
-            # @type may be redefined with @container:@set (+@protected)
+            # @type may be redefined with @container:@set (+@protected);
+            # record the @set so compaction keeps @type values as arrays
             if isinstance(value, dict) and set(value) <= {
                     "@container", "@protected"} and \
                     value.get("@container") in ("@set", ["@set"], None):
+                if value.get("@container") is not None:
+                    ctx.terms["@type"] = _TermDef("@type",
+                                                  container=["@set"])
                 defined[term] = True
                 return
             raise ParseError("jsonld: keyword redefinition '@type'")
@@ -273,6 +331,8 @@ class Expander:
             c = value["@container"]
             cs = c if isinstance(c, list) else [c]
             td.container = [x for x in cs if isinstance(x, str)]
+            if self.processing_mode == "json-ld-1.0" and td.iri == "@type":
+                td.container = []  # 1.0: no @set on an @type alias (t0106)
         if "@language" in value:
             lv = value["@language"]
             td.language = lv.lower() if isinstance(lv, str) else ""
@@ -281,12 +341,22 @@ class Expander:
             td.direction = dv if dv in ("ltr", "rtl") else ""
         if "@context" in value:
             td.local_ctx = value["@context"]
+        if "@nest" in value and isinstance(value["@nest"], str):
+            td.nest = value["@nest"]
         if "@index" in value and isinstance(value["@index"], str):
             td.index_prop = value["@index"]
         if "@prefix" in value:
             td.prefix_flag = bool(value["@prefix"])
         elif simple and td.iri and td.iri[-1] in ":/?#[]@" and ":" not in term:
             td.prefix_flag = True
+        td.protected = bool(value.get("@protected",
+                                      local.get("@protected", False)))
+        prev = ctx.terms.get(term)
+        if prev is not None and prev.protected and not override_protected:
+            if not _same_term_def(prev, td):
+                raise ParseError("jsonld: protected term redefinition",
+                                 code="ERR_PROTECTED")
+            td.protected = True
         ctx.terms[term] = td
         defined[term] = True
 
@@ -512,7 +582,9 @@ class Expander:
             # term-scoped context applies to this value's expansion
             value_ctx = ctx
             if ptd is not None and ptd.local_ctx is not _NO_CTX:
-                value_ctx = self.process_context(ctx, ptd.local_ctx)
+                # property-scoped contexts may override protection (pr06+)
+                value_ctx = self.process_context(ctx, ptd.local_ctx,
+                                                 override_protected=True)
                 lc = ptd.local_ctx
                 for part in (lc if isinstance(lc, list) else [lc]):
                     if isinstance(part, dict) and \
@@ -665,7 +737,8 @@ class Expander:
             nest_ctx = ctx
             ntd = ctx.terms.get(nest_key)
             if ntd is not None and ntd.local_ctx is not _NO_CTX:
-                nest_ctx = self.process_context(ctx, ntd.local_ctx)
+                nest_ctx = self.process_context(ctx, ntd.local_ctx,
+                                                override_protected=True)
             for nested in (nv if isinstance(nv, list) else [nv]):
                 if not isinstance(nested, dict):
                     raise ParseError("jsonld: invalid @nest value")
@@ -960,10 +1033,11 @@ class _ToRdf:
         return term
 
 
-def expand(text_or_doc, base: str = "", expand_context=None, loader=None):
+def expand(text_or_doc, base: str = "", expand_context=None, loader=None,
+           processing_mode: str = "json-ld-1.1"):
     doc = json.loads(text_or_doc) if isinstance(text_or_doc, str) \
         else text_or_doc
-    exp = Expander(base, loader=loader)
+    exp = Expander(base, loader=loader, processing_mode=processing_mode)
     ctx = _Ctx(base)
     if expand_context is not None:
         ec = expand_context
