@@ -58,6 +58,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
         counts[name] = n
 
+    # production-hash delta: the same k=128/16-band MinHash with the
+    # xxhash64 family (JVM hash, identical plan) — timed for comparison
+    # with the portable-md5/DECIMAL oracle setting, not a driver query
+    xxh_sec = None
+    if "dedup_minhash_k128" in names:
+        from rdf_go_spark.operators import dedup
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.perf_counter()
+        dedup.minhash_lsh_pairs(docs, k=dedup.MINHASH_K_PROD,
+                                bands=dedup.LSH_BANDS_PROD,
+                                hash_family="xxhash64").count()
+        xxh_sec = round(time.perf_counter() - t0, 3)
+
     total = round(sum(timings.values()), 3)
     n_triples = counts.get("kg_triples", 0)
     tps = round(n_triples / timings["kg_triples"], 1) if timings.get("kg_triples") else None
@@ -70,6 +83,8 @@ def main() -> None:
         "rows": counts,
         "triples_per_sec": tps,
     }
+    if xxh_sec is not None:
+        out["minhash_k128_xxhash64_sec"] = xxh_sec
     spark.stop()
     print(json.dumps(out))
 
