@@ -114,26 +114,6 @@ WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {threshold}
 MERSENNE_61 = (1 << 61) - 1
 
 
-def minhash_signatures(docs: DataFrame, k: int = MINHASH_K,
-                       sh: DataFrame = None) -> DataFrame:
-    """(doc_id, i, sig) minhash signatures via an affine hash family over a
-    single base hash: h_i(s) = ((2i+3)·hash64(s) + i²+1) mod (2⁶¹−1) —
-    ONE md5 per shingle instead of k, everything JVM-side in DECIMAL
-    arithmetic (exact, and exactly reproducible in the DuckDB oracle's
-    HUGEINT arithmetic)."""
-    if sh is None:
-        sh = shingles(docs)
-    based = sh.withColumn("x", _hash64(F.col("shingle")))
-    ks = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("i")
-    expanded = based.select("doc_id", "x", ks)
-    h = F.pmod(
-        (F.col("i") * 2 + 3).cast("decimal(3,0)") * F.col("x")
-        + (F.col("i") * F.col("i") + 1),
-        F.lit(MERSENNE_61).cast("decimal(20,0)"))
-    hashed = expanded.withColumn("h", h.cast("decimal(20,0)"))
-    return hashed.groupBy("doc_id", "i").agg(F.min("h").alias("sig"))
-
-
 def minhash_wide_signatures(sh: DataFrame, k: int = MINHASH_K,
                             hash_family: str = "md5") -> DataFrame:
     """Wide signature aggregation: k min-columns over ONE base hash per
@@ -141,14 +121,25 @@ def minhash_wide_signatures(sh: DataFrame, k: int = MINHASH_K,
     k-wide rows instead of k x |shingles| rows. The plan shape is
     independent of k (verified at k=128 in tests/bench).
 
-    hash_family: "md5" = portable md5-derived uint64 (cross-engine oracle,
-    see _hash64); "xxhash64" = the production swap — JVM xxHash64, cheaper,
-    identical plan, same affine family over the base hash."""
+    hash_family: "md5" = portable md5-derived uint64 in exact DECIMAL
+    arithmetic (cross-engine oracle, see _hash64); "xxhash64" = the
+    production swap — JVM xxHash64 base hash masked to 31 bits with the
+    affine family mod (2^31-1) in plain LONG arithmetic (max product
+    259 * 2^31 < 2^63, no ANSI overflow), no DECIMAL — identical plan
+    shape, cheaper per row. 31-bit signature space is ample for minhash:
+    band keys concatenate rows before bucketing."""
     if hash_family == "xxhash64":
-        base = F.xxhash64(F.col("shingle")).cast("decimal(20,0)")
-    else:
-        base = _hash64(F.col("shingle"))
-    based = sh.withColumn("x", base)
+        m31 = (1 << 31) - 1
+        based = sh.withColumn(
+            "x", F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(m31)))
+        sig_cols = [
+            F.min(F.pmod(F.lit(2 * i + 3).cast("long") * F.col("x")
+                         + F.lit(i * i + 1), F.lit(m31)))
+            .alias(f"sig{i}")
+            for i in range(k)
+        ]
+        return based.groupBy("doc_id").agg(*sig_cols)
+    based = sh.withColumn("x", _hash64(F.col("shingle")))
     p = F.lit(MERSENNE_61).cast("decimal(20,0)")
     sig_cols = [
         F.min(F.pmod(F.lit(2 * i + 3).cast("decimal(3,0)") * F.col("x")

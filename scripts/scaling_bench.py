@@ -61,7 +61,8 @@ def main() -> None:
     # bursty co-tenant noise (same job varies 2-3x run to run), so A/B/A/B
     # ordering decorrelates it
     results = {8: [], 32: []}
-    for _round in range(3):
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+    for _round in range(rounds):
         for cpus in (8, 32):
             out = subprocess.run(
                 [sys.executable, __file__, "--cpus", str(cpus)],
@@ -72,6 +73,7 @@ def main() -> None:
             results[cpus].append(rec)
             print(rec)
 
+    raw = {c: [r["triples_per_sec"] for r in results[c]] for c in results}
     best = {c: max(results[c], key=lambda r: r["triples_per_sec"])
             for c in results}
     results = best
@@ -95,6 +97,12 @@ conversations ({results[8]['n_triples']:,} triples).
 
 **speedup 8→32 cores: {thr32 / thr8:.2f}x — scaling efficiency {eff}**
 (target >= 0.8)
+
+Raw per-round throughput (triples/s, interleaved 8/32, fresh JVM each —
+the spread shows the co-tenant noise the best-of protocol exists for):
+
+- local[8]:  {", ".join(f"{x:,.0f}" for x in raw[8])}
+- local[32]: {", ".join(f"{x:,.0f}" for x in raw[32])}
 
 Caveats: single-JVM local mode shares one driver, one GC, and one memory
 bus across all task threads — a conservative lower bound on multi-executor
