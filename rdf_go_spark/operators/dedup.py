@@ -44,6 +44,22 @@ def _hash64(col):
     return F.conv(rev, 16, 10).cast("decimal(20,0)")
 
 
+M31 = (1 << 31) - 1
+
+
+def _hash31(col):
+    """Portable md5-derived 31-bit value: the low 7 hex digits of the
+    md5_number_lower bytes fit a LONG exactly in both engines — the whole
+    affine minhash family then runs in plain 64-bit integer arithmetic
+    (max product 259 * 2^31 < 2^63), no DECIMAL. DuckDB twin:
+    ``md5_number_lower(s) & 2147483647``."""
+    hexc = F.md5(col)
+    # low 4 little-endian bytes of md5_number_lower = digest bytes 11..8
+    # MSB-first = hex chars 23-24, 21-22, 19-20, 17-18
+    low = F.concat(*[F.substring(hexc, 23 - 2 * i, 2) for i in range(4)])
+    return F.conv(low, 16, 10).cast("long").bitwiseAND(F.lit(M31))
+
+
 def tokens_col():
     return F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), "")
 
@@ -128,22 +144,12 @@ def minhash_wide_signatures(sh: DataFrame, k: int = MINHASH_K,
     259 * 2^31 < 2^63, no ANSI overflow), no DECIMAL — identical plan
     shape, cheaper per row. 31-bit signature space is ample for minhash:
     band keys concatenate rows before bucketing."""
-    if hash_family == "xxhash64":
-        m31 = (1 << 31) - 1
-        based = sh.withColumn(
-            "x", F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(m31)))
-        sig_cols = [
-            F.min(F.pmod(F.lit(2 * i + 3).cast("long") * F.col("x")
-                         + F.lit(i * i + 1), F.lit(m31)))
-            .alias(f"sig{i}")
-            for i in range(k)
-        ]
-        return based.groupBy("doc_id").agg(*sig_cols)
-    based = sh.withColumn("x", _hash64(F.col("shingle")))
-    p = F.lit(MERSENNE_61).cast("decimal(20,0)")
+    base = F.xxhash64(F.col("shingle")).bitwiseAND(F.lit(M31)) \
+        if hash_family == "xxhash64" else _hash31(F.col("shingle"))
+    based = sh.withColumn("x", base)
     sig_cols = [
-        F.min(F.pmod(F.lit(2 * i + 3).cast("decimal(3,0)") * F.col("x")
-                     + F.lit(i * i + 1), p).cast("decimal(20,0)"))
+        F.min(F.pmod(F.lit(2 * i + 3).cast("long") * F.col("x")
+                     + F.lit(i * i + 1), F.lit(M31)))
         .alias(f"sig{i}")
         for i in range(k)
     ]
@@ -220,8 +226,9 @@ sh AS (
 ),
 sigs AS (
   SELECT doc_id, i,
-         min(((2*i + 3)::HUGEINT * md5_number_lower(shingle)::HUGEINT
-              + (i*i + 1)) % {MERSENNE_61}) AS sig
+         min(((2*i + 3)::BIGINT
+              * (md5_number_lower(shingle) & 2147483647)::BIGINT
+              + (i*i + 1)) % 2147483647) AS sig
   FROM sh, LATERAL UNNEST(generate_series(0, {k - 1})) AS t(i)
   GROUP BY doc_id, i
 ),
