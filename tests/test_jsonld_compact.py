@@ -129,3 +129,61 @@ class TestCompactUnits:
                '"knows": "http://e/b"}')
         compacted = compact(doc, ctxv)
         assert _norm(expand(json.dumps(compacted))) == _norm(expand(doc))
+
+
+TORDF_MANIFEST = "/root/reference/w3c-tests/jsonld/toRdf-manifest.jsonld"
+
+
+@pytest.mark.skipif(not os.path.exists(TORDF_MANIFEST),
+                    reason="manifest unavailable")
+def test_flatten_preserves_rdf_content_differential():
+    """Cross-algorithm differential: for every toRdf fixture,
+    to_rdf(flatten(doc)) must be isomorphic to to_rdf(doc) — flattening
+    may relabel blank nodes but must not change the graph. 340/340 as of
+    round 2."""
+    import glob
+
+    from rdf_go_spark.isomorphism import isomorphic
+    from rdf_go_spark.parsers.jsonld_full import to_rdf
+
+    tordf = os.path.dirname(TORDF_MANIFEST) + "/toRdf"
+    man = json.load(open(TORDF_MANIFEST))
+    opts = {e["input"].split("/")[-1]: e.get("option", {})
+            for e in man["sequence"]}
+    prefix = "https://w3c.github.io/json-ld-api/tests/toRdf/"
+
+    def loader(url):
+        rel = url[len(prefix):] if url.startswith(prefix) \
+            else url.split("/")[-1]
+        return json.load(open(os.path.join(tordf, rel)))
+
+    ok = total = 0
+    failures = []
+    for f in sorted(glob.glob(f"{tordf}/*-in.jsonld")):
+        name = os.path.basename(f)
+        o = opts.get(name, {})
+        if o.get("specVersion") == "json-ld-1.0":
+            continue
+        if not os.path.exists(f.replace("-in.jsonld", "-out.nq")):
+            continue
+        base = o.get("base", prefix + name)
+        gen = o.get("produceGeneralizedRdf", False)
+        try:
+            direct, e1 = to_rdf(open(f).read(), base=base, loader=loader,
+                                rdf_direction=o.get("rdfDirection"),
+                                generalized=gen)
+            if e1:
+                continue  # negative/error fixtures are out of scope here
+            total += 1
+            flat = flatten(open(f).read(), base=base, loader=loader)
+            via, e2 = to_rdf(json.dumps(flat),
+                             rdf_direction=o.get("rdfDirection"),
+                             generalized=gen)
+            if not e2 and isomorphic(list(set(direct)), list(set(via))):
+                ok += 1
+            else:
+                failures.append(name)
+        except Exception:  # noqa: BLE001 — counted
+            failures.append(name)
+    assert ok >= total - 2 and total >= 330, \
+        f"flatten differential regressed: {ok}/{total}; {failures[:8]}"
