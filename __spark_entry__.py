@@ -94,7 +94,10 @@ def _training_data_queries():
         "doc_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
         "doc_exact_dedup": lambda s, d: textstats.exact_dedup(_docs(s, d)),
         # near-dup detection
-        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(_docs(s, d)),
+        # df-capped candidates (scale guard for hot shingles); exact
+        # Jaccard values on the candidate set — oracle applies same cap
+        "dedup_ngram_jaccard": lambda s, d: dedup.ngram_jaccard_pairs(
+            _docs(s, d), max_df=100),
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_minhash_k128": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), k=dedup.MINHASH_K_PROD, bands=dedup.LSH_BANDS_PROD),
@@ -182,7 +185,7 @@ def _build_oracles() -> dict[str, str]:
         "doc_lang_id": textstats.lang_id_oracle(),
         "doc_fingerprint": textstats.fingerprint_oracle(),
         "doc_exact_dedup": textstats.exact_dedup_oracle(),
-        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(),
+        "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(max_df=100),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),
         "dedup_minhash_k128": dedup.minhash_lsh_oracle(
             k=dedup.MINHASH_K_PROD, bands=dedup.LSH_BANDS_PROD),

@@ -77,17 +77,52 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     return df.select("doc_id", "shingle").distinct()
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j >= threshold)."""
+def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
+                        max_df: int = None) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs (doc_a < doc_b, j >= threshold).
+
+    ``max_df``: document-frequency cap on CANDIDATE-generating shingles —
+    the scale guard for the shingle self-join. Hot shingles (common
+    trigrams appearing in thousands of documents) make the equi-join
+    quadratic within their group; capping df bounds every join group at
+    max_df while the Jaccard VALUE stays exact (the intersection count
+    uses ALL shingles, restricted to candidate pairs). A pair is missed
+    only if every shared shingle is hotter than the cap — at j >= 0.8
+    near-dups share many (mostly rare) shingles, so recall loss is
+    negligible. None = uncapped exact baseline (the verification kernel).
+    """
     sh = shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
-                    (F.col("a.doc_id") < F.col("b.doc_id")))
-             .groupBy(F.col("a.doc_id").alias("doc_a"),
-                      F.col("b.doc_id").alias("doc_b"))
-             .agg(F.count("*").alias("inter")))
+    if max_df is None:
+        cand_sh = sh
+    else:
+        rare = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("shingle"))
+        cand_sh = sh.join(rare, "shingle")
+    a = cand_sh.alias("a")
+    b = cand_sh.alias("b")
+    cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                   (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    if max_df is None:
+        inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                        (F.col("a.doc_id") < F.col("b.doc_id")))
+                 .groupBy(F.col("a.doc_id").alias("doc_a"),
+                          F.col("b.doc_id").alias("doc_b"))
+                 .agg(F.count("*").alias("inter")))
+    else:
+        # exact intersection over ALL shingles, restricted to candidates
+        sh_a = sh.select(F.col("doc_id").alias("doc_a"),
+                         F.col("shingle").alias("sh_a"))
+        sh_b = sh.select(F.col("doc_id").alias("_db"),
+                         F.col("shingle").alias("sh_b"))
+        inter = (sh_a.join(F.broadcast(cand), "doc_a")
+                 .join(sh_b, (F.col("doc_b") == F.col("_db")) &
+                       (F.col("sh_a") == F.col("sh_b")))
+                 .groupBy("doc_a", "doc_b")
+                 .agg(F.count("*").alias("inter")))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jac = (inter.join(sa, "doc_a").join(sb, "doc_b")
@@ -98,7 +133,18 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8) -> DataFrame:
 
 
 def ngram_jaccard_oracle(table: str = "documents", threshold: float = 0.8,
-                         n: int = 3) -> str:
+                         n: int = 3, max_df: int = None) -> str:
+    if max_df is None:
+        cand_sh = "sh"
+        extra = ""
+    else:
+        cand_sh = "rare_sh"
+        extra = f""",
+rare_sh AS (
+  SELECT sh.* FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING count(*) <= {max_df}) r USING (shingle)
+)"""
     return f"""
 WITH docs AS (
   SELECT doc_id,
@@ -111,10 +157,16 @@ sh AS (
          array_to_string(toks[i:i+{n - 1}], ' ') AS shingle
   FROM docs, LATERAL UNNEST(generate_series(1, len(toks) - {n - 1})) AS t(i)
   WHERE len(toks) >= {n}
+){extra},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {cand_sh} a JOIN {cand_sh} b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
 ),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
   FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  JOIN cand c ON c.doc_a = a.doc_id AND c.doc_b = b.doc_id
   GROUP BY 1, 2
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1)
