@@ -165,6 +165,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_entity_link_scored": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_entity_link_scored(s, d)),
+    "kg_streaming_turn_metrics": (lambda s, d: __import__(
+        "rdf_go_spark.streaming.pipeline", fromlist=["x"])
+        .kg_streaming_turn_metrics(s, d)),
     **_training_data_queries(),
     **_analytics_queries(),
 }
@@ -180,6 +183,9 @@ def _build_oracles() -> dict[str, str]:
     from rdf_go_spark.plans.oracles import kg_oracles
 
     oracles = kg_oracles(N_CONV_ORACLE)
+    oracles["kg_streaming_turn_metrics"] = __import__(
+        "rdf_go_spark.streaming.pipeline", fromlist=["x"]) \
+        .kg_streaming_turn_metrics_oracle_sql(N_CONV_ORACLE)
     oracles.update({
         "doc_token_stats": textstats.token_stats_oracle(),
         "doc_lang_id": textstats.lang_id_oracle(),

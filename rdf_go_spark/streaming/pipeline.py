@@ -140,3 +140,45 @@ def run_availablenow_complete(stream_df: DataFrame, checkpoint: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+
+
+def kg_streaming_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing Structured Streaming query: the sf-scale transcript
+    corpus is written to parquet, re-read as a STREAM (file source,
+    maxFilesPerTrigger batching), aggregated into watermarked 1-hour
+    tumbling windows per role, drained with availableNow into a memory
+    sink, and returned as a DataFrame. Exact counts only (streaming
+    forbids exact distinct) so the DuckDB oracle is the same aggregation
+    over the same deterministic transcripts — epoch-aligned window start
+    == date_trunc('hour', ts)."""
+    import tempfile
+    import uuid
+
+    from ..sources.transcripts import n_conv_for_sf_dir, synth_transcripts
+
+    n = n_conv_for_sf_dir(sf_dir)
+    base = tempfile.mkdtemp(prefix="kg_stream_")
+    data_dir = f"{base}/input"
+    synth_transcripts(spark, n).write.mode("overwrite").parquet(data_dir)
+    stream = stream_transcripts(spark, data_dir)
+    metrics = (stream
+               .withWatermark("ts", "2 hours")
+               .groupBy(F.window("ts", "1 hour").alias("w"), F.col("role"))
+               .agg(F.count("*").alias("n_turns")))
+    name = "kg_stream_metrics_" + uuid.uuid4().hex[:8]
+    run_availablenow_complete(metrics, f"{base}/ckpt", name)
+    return (spark.table(name)
+            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
+                    .alias("window_start"),
+                    "role", "n_turns"))
+
+
+def kg_streaming_turn_metrics_oracle_sql(n_conv: int) -> str:
+    from ..sources.transcripts import transcripts_sql
+    return f"""
+WITH {transcripts_sql(n_conv)}
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       role, count(*)::BIGINT AS n_turns
+FROM transcripts
+GROUP BY 1, 2
+""".strip()

@@ -129,3 +129,21 @@ class TestStatefulAssembly:
             assert (row.n_user, row.n_assistant, row.n_tool) == \
                 (st["user"], st["assistant"], st["tool"])
             assert row.text_sha == st["h"].hexdigest()[:16]
+
+
+def test_streaming_turn_metrics_matches_oracle(spark, duck):
+    """The driver-facing streaming query (file stream -> watermarked
+    windowed agg -> availableNow drain) must value-match its DuckDB
+    oracle — streaming is oracle-checked like every batch query."""
+    import __spark_entry__ as e
+
+    from tests.conftest import assert_frames_match
+    sdf = e.queries()["kg_streaming_turn_metrics"](
+        spark, "/root/testdata/sf0.001")
+    from rdf_go_spark.sources.transcripts import n_conv_for_sf_dir
+    from rdf_go_spark.streaming.pipeline import (
+        kg_streaming_turn_metrics_oracle_sql,
+    )
+    ddf = duck.execute(kg_streaming_turn_metrics_oracle_sql(
+        n_conv_for_sf_dir("/root/testdata/sf0.001"))).df()
+    assert_frames_match(sdf, ddf)
