@@ -48,14 +48,20 @@ def main() -> None:
         except Exception:
             pass
 
+    # best-of-2 per query: the VM has bursty co-tenant noise (2-4x on the
+    # same job); a single sample conflates the engine with the neighbor
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name in names:
         fn = qdict[name]
-        t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            n = df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         counts[name] = n
 
     # production-hash delta: the same k=128/16-band MinHash with the
@@ -65,11 +71,13 @@ def main() -> None:
     if "dedup_minhash_k128" in names:
         from rdf_go_spark.operators import dedup
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        t0 = time.perf_counter()
-        dedup.minhash_lsh_pairs(docs, k=dedup.MINHASH_K_PROD,
-                                bands=dedup.LSH_BANDS_PROD,
-                                hash_family="xxhash64").count()
-        xxh_sec = round(time.perf_counter() - t0, 3)
+        for _ in range(2):
+            t0 = time.perf_counter()
+            dedup.minhash_lsh_pairs(docs, k=dedup.MINHASH_K_PROD,
+                                    bands=dedup.LSH_BANDS_PROD,
+                                    hash_family="xxhash64").count()
+            dt = round(time.perf_counter() - t0, 3)
+            xxh_sec = dt if xxh_sec is None or dt < xxh_sec else xxh_sec
 
     total = round(sum(timings.values()), 3)
     n_triples = counts.get("kg_triples", 0)
