@@ -14,15 +14,8 @@ import json
 import re
 from typing import Any, Dict, List, Optional
 
-from ..terms import ParseError, resolve_iri
-from .jsonld_full import (
-    KEYWORDS, _Ctx, _NO_CTX, Expander, _is_keyword, expand,
-)
-
-
-def _is_node_object(v) -> bool:
-    return isinstance(v, dict) and "@value" not in v and "@list" not in v \
-        and "@set" not in v
+from ..terms import ParseError
+from .jsonld_full import KEYWORDS, _Ctx, _NO_CTX, Expander, expand
 
 
 def _json_key(v) -> str:
@@ -578,12 +571,7 @@ class Compactor:
             return inner if isinstance(inner, list) else [inner]
         if "@value" in element or (set(element) == {"@id"} and
                                    active_prop is not None):
-            result = self.compact_value(ctx, active_prop, element)
-            if not isinstance(result, dict) or \
-                    any(not _is_keyword(k) and not k.startswith("@")
-                        or True for k in []):
-                return result
-            return result
+            return self.compact_value(ctx, active_prop, element)
         inside_reverse = active_prop == "@reverse"
         result: Dict[str, Any] = {}
         # type-scoped contexts (sorted by compacted type term)
@@ -696,14 +684,6 @@ class Compactor:
                 container = itd.container if itd else []
                 as_array = (not self.compact_arrays) or "@set" in container \
                     or item_prop in ("@graph", "@list")
-                inner = item
-                if isinstance(item, dict) and "@list" in item:
-                    inner = item["@list"]
-                elif isinstance(item, dict) and "@graph" in item and \
-                        _is_simple_graph(item):
-                    inner = item["@graph"]
-                else:
-                    inner = None
                 if isinstance(item, dict) and "@list" in item:
                     compacted_item = self.compact(ctx, item_prop,
                                                   item["@list"])
