@@ -7,10 +7,11 @@ Scale design notes (100 TB target):
   baseline. The scale path is `minhash_lsh_pairs`: signatures are computed
   map-side, the only shuffles are (doc,band-bucket) grouping and the
   candidate-pair verify join — standard shingle→minhash→band→bucket-join.
-- Hashing uses a cross-engine-portable md5-derived 64-bit value
-  (== DuckDB ``md5_number_lower``) so every stage has an exact DuckDB
-  oracle. On a real cluster swap ``_hash64`` for ``F.xxhash64`` (seeded,
-  cheaper, same plan shape) — noted inline.
+- Hashing uses a cross-engine-portable md5-derived value (== DuckDB
+  ``md5_number_lower``; 31-bit masked so the affine minhash family runs
+  in plain LONG arithmetic on both engines) so every stage has an exact
+  DuckDB oracle. The production swap is ``hash_family="xxhash64"``
+  (JVM hash, same plan shape, no cross-engine contract).
 - SimHash is computed in an Arrow-batched pandas UDF (numpy bit ops); the
   Hamming-distance pair scan is the O(n²)-in-bucket verify kernel, with
   bit_count(xor) staying JVM-side.
@@ -177,9 +178,6 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(inter * 1.0 / (sa.n + sb.n - inter), 6) >= {threshold}
 """.strip()
-
-
-MERSENNE_61 = (1 << 61) - 1
 
 
 def minhash_wide_signatures(sh: DataFrame, k: int = MINHASH_K,
