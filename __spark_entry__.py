@@ -109,6 +109,11 @@ def _training_data_queries():
         # similarity search
         "emb_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         "emb_lsh_ann": lambda s, d: similarity.lsh_ann_topk(_emb(s, d)),
+        # synthetic embeddings are near-orthogonal (no planted dups), so
+        # the demo threshold sits below the production 0.95 to exercise
+        # the candidate+verify path with non-empty output
+        "emb_near_dup": lambda s, d: similarity.embedding_near_dup_pairs(
+            _emb(s, d), threshold=0.25),
         "emb_ivf_ann": lambda s, d: similarity.ivf_ann_topk(_emb(s, d)),
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # multimodal plumbing
@@ -176,8 +181,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def _build_oracles() -> dict[str, str]:
     from rdf_go_spark.operators import dedup, multimodal, textstats
     from rdf_go_spark.operators.similarity import (
-        cosine_topk_oracle, ivf_ann_oracle, label_centroids_oracle,
-        lsh_ann_oracle,
+        cosine_topk_oracle, embedding_near_dup_oracle, ivf_ann_oracle,
+        label_centroids_oracle, lsh_ann_oracle,
     )
     from rdf_go_spark.plans import analytics as A
     from rdf_go_spark.plans.oracles import kg_oracles
@@ -202,6 +207,7 @@ def _build_oracles() -> dict[str, str]:
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle(),
         "emb_cosine_topk": cosine_topk_oracle(),
         "emb_lsh_ann": lsh_ann_oracle(),
+        "emb_near_dup": embedding_near_dup_oracle(threshold=0.25),
         "emb_ivf_ann": ivf_ann_oracle(),
         "emb_label_centroids": label_centroids_oracle(),
         "media_metadata": multimodal.media_metadata_oracle(),

@@ -385,3 +385,52 @@ SELECT label, (t.i - 1)::INT AS dim,
 FROM {table}, LATERAL UNNEST(generate_series(1, len(embedding))) AS t(i)
 GROUP BY label, dim
 """.strip()
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame,
+                             threshold: float = 0.95,
+                             dim: int = 64) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from the
+    hyperplane-LSH bucket equi-join (same signatures as lsh_ann_topk —
+    never an all-pairs product), verified with exact cosine >= threshold.
+    The dedup counterpart of MinHash for the embedding modality."""
+    sigs = embeddings.select("vec_id", "embedding").mapInPandas(
+        _sig_batches(dim), schema=_SIG_SCHEMA)
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")) \
+        .join(sigs, "vec_id")
+    a, b = emb.alias("a"), emb.alias("b")
+    cand = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+                  (F.col("a.vec_id") < F.col("b.vec_id")))
+    return (cand.select(
+                F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"),
+                F.round(_cosine(F.col("a.e"), F.col("b.e")), 4)
+                .alias("cosine"))
+            .filter(F.col("cosine") >= threshold))
+
+
+def embedding_near_dup_oracle(table: str = "embeddings",
+                              threshold: float = 0.95,
+                              dim: int = 64) -> str:
+    """DuckDB twin: same inlined hyperplane buckets, same candidate join,
+    same rounded exact-cosine verify."""
+    planes = _plane_matrix(dim)
+    sig_terms = []
+    for j in range(N_PLANES):
+        arr = "[" + ", ".join(str(int(x)) for x in planes[j]) + "]"
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)")
+    bucket_expr = "\n     + ".join(sig_terms)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+sig AS (
+  SELECT vec_id, v,
+       {bucket_expr} AS bucket
+  FROM e)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.v, b.v), 4) AS cosine
+FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 4) >= {threshold}
+""".strip()

@@ -23,7 +23,7 @@ TRAINING_QUERIES = [
     "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "emb_cosine_topk",
-    "emb_label_centroids",
+    "emb_near_dup", "emb_label_centroids",
     "media_metadata", "pricing_summary", "top_customers",
     "events_user_stats", "sessionize_events", "orders_without_lineitems",
     "repeat_buyers",
