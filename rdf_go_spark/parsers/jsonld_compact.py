@@ -291,13 +291,18 @@ class Compactor:
         self.compact_arrays = compact_arrays
         self.compact_to_relative = compact_to_relative
         self.ordered = ordered
-        self._inverse_cache: Dict[int, Dict[str, dict]] = {}
+        self._inverse_cache: Dict[int, tuple] = {}
 
     def inverse(self, ctx: _Ctx) -> Dict[str, dict]:
+        # hold a strong reference to ctx in the cache value: id() keys are
+        # only unique among LIVE objects, so a collected context could let
+        # a new one reuse its id and hit a stale inverse
         key = id(ctx)
-        if key not in self._inverse_cache:
-            self._inverse_cache[key] = create_inverse_context(ctx)
-        return self._inverse_cache[key]
+        hit = self._inverse_cache.get(key)
+        if hit is None or hit[0] is not ctx:
+            hit = (ctx, create_inverse_context(ctx))
+            self._inverse_cache[key] = hit
+        return hit[1]
 
     # -- IRI compaction ---------------------------------------------------
 
