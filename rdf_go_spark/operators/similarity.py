@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    IntegerType, LongType, StringType, StructField, StructType,
+    IntegerType, LongType, StructField, StructType,
 )
 
 
