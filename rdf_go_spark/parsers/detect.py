@@ -118,7 +118,12 @@ def parse_any(text: str, fmt: Optional[str] = None, base: str = "",
     relabeled through a per-call label→factory map in statement order.
     Labeled bnodes would otherwise keep their document-local labels and
     silently merge distinct nodes when documents are unioned (the
-    parse_rdf_documents skolemization contract)."""
+    parse_rdf_documents skolemization contract).
+
+    Anonymous nodes ([ … ], collections, JSON-LD node minting) are parsed
+    with an internal factory whose ids start with ``\\x00`` — a byte no
+    bnode-label grammar admits — so a document label like ``_:b1`` can
+    never collide with a generated anonymous id before relabeling."""
     if fmt:
         canon = parse_format(fmt)
         if canon is None:
@@ -129,7 +134,15 @@ def parse_any(text: str, fmt: Optional[str] = None, base: str = "",
         if canon is None:
             return [], [ParseError("cannot detect format",
                                    code="ERR_FORMAT")], ""
-    stmts, errs = PARSERS[canon](text, base, None)
+    anon_factory = None
+    if bnode_factory is not None:
+        anon_counter = [0]
+
+        def anon_factory():  # ids outside every label grammar (\x00 prefix)
+            anon_counter[0] += 1
+            return BlankNode(f"\x00anon{anon_counter[0]}")
+
+    stmts, errs = PARSERS[canon](text, base, anon_factory)
     if bnode_factory is not None:
         label_map: Dict[str, str] = {}
 

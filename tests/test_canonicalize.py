@@ -98,6 +98,34 @@ class TestAdviceRegressions:
                              bnode_factory=_skolem_factory("C"))
         assert s3[0].s == s3[0].o == s3[1].s
 
+    def test_anonymous_bnodes_never_merge_with_labels(self):
+        # round-2 advisory (high): parsing with bnode_factory used the
+        # parsers' DEFAULT anon factory ('b1','b2',…) before relabeling,
+        # so a document label _:b1 silently merged with an anonymous
+        # [ … ] node. Anonymous ids now use a \x00 prefix no label
+        # grammar admits.
+        from rdf_go_spark.operators.parse_spark import _skolem_factory
+        from rdf_go_spark.parsers.detect import parse_any
+
+        ttl = ('<http://e/s> <http://e/p> _:b1 .\n'
+               '<http://e/s2> <http://e/p> [ <http://e/q> "x" ] .\n')
+        stmts, errs, fmt = parse_any(ttl, fmt="turtle",
+                                     bnode_factory=_skolem_factory("D"))
+        assert not errs and fmt == "turtle"
+        bnodes = {q.o.id for q in stmts if hasattr(q.o, "id")} | \
+                 {q.s.id for q in stmts if hasattr(q.s, "id")}
+        # _:b1, the anonymous node, = 2 distinct nodes; \x00 never leaks
+        assert len(bnodes) == 2
+        assert all("\x00" not in b for b in bnodes)
+        # same shape in JSON-LD (decoder-minted bnodes) and RDF/XML
+        jld = ('{"@context":{"e":"http://e/"},"@graph":['
+               '{"@id":"_:b1","e:p":"lbl"},{"e:p":{"e:q":"anon"}}]}')
+        s2, e2, _ = parse_any(jld, fmt="jsonld",
+                              bnode_factory=_skolem_factory("E"))
+        assert not e2
+        subj_bnodes = {q.s.id for q in s2 if hasattr(q.s, "id")}
+        assert len(subj_bnodes) >= 3  # _:b1, outer anon, inner anon
+
     def test_turtle_datatyped_control_char_roundtrips(self):
         # \x0b in a datatyped literal abbreviated via a prefix: go_quote
         # \v is not a Turtle ECHAR — must use the c14n form
