@@ -30,7 +30,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Dict, List, Optional, Set
+from typing import Dict, List, Optional, Set, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -145,6 +145,45 @@ def materialize_bucketed(triples: DataFrame, table_name: str,
      .sortBy(bucket_col)
      .format("parquet")
      .saveAsTable(table_name))
+
+
+def materialize_adjacency(triples: DataFrame, prefix: str,
+                          n_buckets: int = 32) -> Tuple[str, str]:
+    """Dual adjacency layout for traversal at scale: the edge set stored
+    twice — ``{prefix}_by_subj`` bucketed+sorted on subj (out-edges) and
+    ``{prefix}_by_obj`` bucketed+sorted on obj (in-edges). A hop join
+    ``e1.obj = e2.subj`` then reads the in-edge table on its bucket column
+    and the out-edge table on its bucket column: ZERO exchanges, the
+    property-graph answer to multi-hop traversal over 100 TB (each hop is
+    a co-located sort-merge join; 2× storage buys shuffle-free hops).
+    Returns the two table names."""
+    by_subj, by_obj = f"{prefix}_by_subj", f"{prefix}_by_obj"
+    for table, col in ((by_subj, "subj"), (by_obj, "obj")):
+        (triples.write.mode("overwrite")
+         .bucketBy(n_buckets, col)
+         .sortBy(col)
+         .format("parquet")
+         .saveAsTable(table))
+    return by_subj, by_obj
+
+
+def two_hop_edges(spark: SparkSession, by_subj: str, by_obj: str) -> DataFrame:
+    """subject→object→subject traversal over the dual adjacency tables.
+
+    e1 comes from the in-edge table (bucketed on obj = the join key),
+    e2 from the out-edge table (bucketed on subj = the join key), so the
+    join plans with no Exchange (asserted in tests). Literal objects
+    cannot be hop-through nodes and are filtered before the join —
+    the filter preserves bucketing info."""
+    e1 = spark.table(by_obj).filter(~F.col("obj_is_literal")).alias("e1")
+    e2 = spark.table(by_subj).alias("e2")
+    return (e1.join(e2, F.col("e1.obj") == F.col("e2.subj"))
+            .select(F.col("e1.subj").alias("src"),
+                    F.col("e1.pred").alias("pred1"),
+                    F.col("e1.obj").alias("mid"),
+                    F.col("e2.pred").alias("pred2"),
+                    F.col("e2.obj").alias("dst"),
+                    F.col("e2.obj_is_literal").alias("dst_is_literal")))
 
 
 def read_graph(spark: SparkSession, root: str,

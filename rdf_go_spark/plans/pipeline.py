@@ -211,6 +211,38 @@ FROM base GROUP BY 1
 """.strip()
 
 
+def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hop traversal over the materialized dual-adjacency graph tables
+    (operators/graph.py): subject→object→subject sort-merge join on the
+    bucket columns (zero Exchange, plan-asserted in tests), then a tiny
+    per-(pred1, pred2) path census. The heavy op is the hop join; the
+    aggregate keeps the driver compare small and order-free."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import materialize_adjacency, two_hop_edges
+
+    t = kg_triples(spark, sf_dir)
+    by_subj, by_obj = materialize_adjacency(t, "kg_graph", n_buckets=8)
+    paths = two_hop_edges(spark, by_subj, by_obj)
+    return (paths.groupBy("pred1", "pred2")
+            .agg(F.count("*").alias("n_paths"),
+                 F.count_distinct("mid").alias("n_mid"),
+                 F.count_distinct("src").alias("n_src")))
+
+
+def kg_two_hop_oracle_sql(n_conv: int) -> str:
+    return f"""
+WITH base AS ({kg_triples_oracle_sql(n_conv)})
+SELECT e1.pred AS pred1, e2.pred AS pred2,
+       count(*)::BIGINT AS n_paths,
+       count(DISTINCT e1.obj)::BIGINT AS n_mid,
+       count(DISTINCT e1.subj)::BIGINT AS n_src
+FROM base e1 JOIN base e2 ON e1.obj = e2.subj
+WHERE NOT e1.obj_is_literal
+GROUP BY 1, 2
+""".strip()
+
+
 def kg_triples_oracle_sql(n_conv: int) -> str:
     """Arithmetic oracle for ``kg_triples`` (DuckDB dialect)."""
     return f"""

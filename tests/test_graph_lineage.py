@@ -144,3 +144,29 @@ class TestBucketedJoins:
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             spark.sql("DROP TABLE IF EXISTS graph_bucketed_test")
+
+    def test_two_hop_join_has_no_exchange(self, spark, triples):
+        """Dual adjacency (by_obj ⋈ by_subj on obj=subj): each side is
+        bucketed+sorted on its join key, so the hop join itself plans
+        with ZERO exchanges — the multi-hop traversal scale path."""
+        from rdf_go_spark.operators.graph import (
+            materialize_adjacency, two_hop_edges,
+        )
+        by_subj, by_obj = materialize_adjacency(
+            triples, "graph_adj_test", n_buckets=8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = two_hop_edges(spark, by_subj, by_obj)
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert plan.count("Exchange") == 0, plan[:800]
+            assert "SortMergeJoin" in plan
+            # traversal is real: conv --hasTurn--> bnode --role--> …
+            assert j.filter(
+                (F.col("pred1") == "<http://example.org/v/hasTurn>")
+                & (F.col("pred2") == "<http://example.org/v/role>")
+            ).count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            for t in ("graph_adj_test_by_subj", "graph_adj_test_by_obj"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
