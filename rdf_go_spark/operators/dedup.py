@@ -12,9 +12,11 @@ Scale design notes (100 TB target):
   in plain LONG arithmetic on both engines) so every stage has an exact
   DuckDB oracle. The production swap is ``hash_family="xxhash64"``
   (JVM hash, same plan shape, no cross-engine contract).
-- SimHash is computed in an Arrow-batched pandas UDF (numpy bit ops); the
-  Hamming-distance pair scan is the O(n²)-in-bucket verify kernel, with
-  bit_count(xor) staying JVM-side.
+- SimHash has three hash-family settings: "md5" (Arrow-batched pandas,
+  the portable-oracle default), "md5-jvm" (the SAME hash via built-ins —
+  bit-identical, zero Python stages), and "xxhash64" (production: JVM
+  hash + the same wide bit-vote agg, one shuffle). Pair generation is a
+  banded equi-join; bit_count(xor) verifies JVM-side.
 """
 
 from __future__ import annotations
@@ -353,7 +355,62 @@ def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
 
 
-def simhash(docs: DataFrame) -> DataFrame:
+def _hash60(col):
+    """Portable md5-derived 60-bit value == the pandas path's
+    ``int.from_bytes(md5(t).digest()[8:], 'little') & (2^60-1)``: the
+    64-bit little-endian tail mod 2^60 drops the top nibble — hex char 32
+    (low nibble of digest byte 15) followed by bytes 14..8 MSB-first."""
+    hexc = F.md5(col)
+    h15 = F.concat(F.substring(hexc, 32, 1),
+                   *[F.substring(hexc, 29 - 2 * i, 2) for i in range(7)])
+    return F.conv(h15, 16, 10).cast("long")
+
+
+def _simhash_jvm(docs: DataFrame, hash_family: str) -> DataFrame:
+    """All-JVM SimHash: distinct tokens exploded, base hash via built-ins,
+    60 bit-vote aggregate columns in ONE shuffle (map-side combine), zero
+    Python stages — the production shape (mirrors minhash's wide agg).
+
+    hash_family "md5" reproduces the pandas path bit-identically
+    (equivalence-tested); "xxhash64" is the cheap production hash."""
+    from functools import reduce
+    from operator import add
+
+    mask = (1 << SIMHASH_BITS) - 1
+    base = F.xxhash64("tok").bitwiseAND(F.lit(mask)) \
+        if hash_family == "xxhash64" else _hash60(F.col("tok"))
+    toks = (docs.select("doc_id",
+                        F.explode(F.array_distinct(tokens_col())).alias("tok"))
+            .withColumn("h", base))
+    votes = [
+        F.sum(F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                     1).otherwise(-1)).alias(f"v{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = reduce(add, [
+        F.when(F.col(f"v{b}") > 0, F.lit(1 << b).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        for b in range(SIMHASH_BITS)
+    ])
+    sims = agg.select("doc_id", sim.alias("sim"))
+    # docs with zero tokens have no vote rows → simhash 0, like pandas
+    return (docs.select("doc_id").join(sims, "doc_id", "left")
+            .select("doc_id",
+                    F.lpad(F.lower(F.conv(
+                        F.coalesce(F.col("sim"), F.lit(0)).cast("string"),
+                        10, 16)), 15, "0").alias("simhash")))
+
+
+def simhash(docs: DataFrame, hash_family: str = "md5") -> DataFrame:
+    """"md5" (default): Arrow-batched pandas path — the portable-oracle
+    setting. "md5-jvm": the SAME hash computed entirely JVM-side,
+    bit-identical output (proves the JVM plan against the oracle path).
+    "xxhash64": the production swap — same zero-Python plan, JVM xxHash64
+    base hash, no cross-engine contract."""
+    if hash_family in ("md5-jvm", "xxhash64"):
+        return _simhash_jvm(
+            docs, "md5" if hash_family == "md5-jvm" else "xxhash64")
     return docs.select("doc_id", "text").mapInPandas(
         _simhash_batches, schema=_SIMHASH_SCHEMA)
 
@@ -384,7 +441,8 @@ FROM {table} d LEFT JOIN vals v ON v.doc_id = d.doc_id
 """.strip()
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  hash_family: str = "md5") -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, banded for scale.
 
     Pigeonhole: the 60-bit simhash splits into ``max_hamming + 1``
@@ -397,7 +455,8 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     n_bands = max_hamming + 1
     seg_bits = SIMHASH_BITS // n_bands  # 60 bits -> 4 x 15-bit segments
     seg_mask = (1 << seg_bits) - 1
-    sh = simhash(docs).withColumn("v", F.conv("simhash", 16, 10).cast("long"))
+    sh = simhash(docs, hash_family=hash_family) \
+        .withColumn("v", F.conv("simhash", 16, 10).cast("long"))
     segs = sh.select(
         "doc_id", "v",
         F.explode(F.array(*[

@@ -211,6 +211,51 @@ class TestPlanShape:
         if exact:
             assert len(xx & exact) / len(exact) >= 0.7
 
+    def test_simhash_jvm_path_bit_identical_to_pandas(self, spark):
+        """hash_family='md5-jvm' computes the SAME md5-derived 60-bit token
+        hash with built-ins (conv over the little-endian md5 tail) — the
+        output must equal the Arrow/pandas oracle path byte-for-byte,
+        including zero-token docs."""
+        from rdf_go_spark.operators.dedup import simhash
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        empty = spark.createDataFrame([(999991, ""), (999992, "!!! ...")],
+                                      "doc_id long, text string")
+        both = docs.select("doc_id", "text").unionByName(empty)
+        pandas_out = {r.doc_id: r.simhash for r in simhash(both).collect()}
+        jvm_out = {r.doc_id: r.simhash
+                   for r in simhash(both, hash_family="md5-jvm").collect()}
+        assert pandas_out == jvm_out
+        assert jvm_out[999991] == "0" * 15
+
+    def test_simhash_xxhash64_path_has_zero_python_stages(self, spark):
+        """The production SimHash is all-JVM: no Python markers in the
+        plan, and the bit-vote wide agg adds exactly one shuffle."""
+        from rdf_go_spark.operators.dedup import simhash, simhash_pairs
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        old = spark.conf.get("spark.sql.debug.maxToStringFields", "25")
+        spark.conf.set("spark.sql.debug.maxToStringFields", "10000")
+        try:
+            plan = simhash(docs, hash_family="xxhash64") \
+                ._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.debug.maxToStringFields", old)
+        for marker in ("BatchEvalPython", "ArrowEvalPython",
+                       "MapInPandas", "FlatMapGroupsInPandas"):
+            assert marker not in plan, marker
+        assert "HashAggregate" in plan
+        # and the banded pair kernel accepts the family end-to-end:
+        # identical texts hash identically under ANY family (Hamming 0),
+        # so exact-duplicate pairs must always be detected
+        base = docs.select("doc_id", "text")
+        clones = (base.orderBy("doc_id").limit(3)
+                  .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+        planted = base.unionByName(clones)
+        expect = {(r.doc_id, r.doc_id + 1000000)
+                  for r in base.orderBy("doc_id").limit(3).collect()}
+        xx = simhash_pairs(planted, hash_family="xxhash64").collect()
+        ham0 = {(r.doc_a, r.doc_b) for r in xx if r.hamming == 0}
+        assert expect <= ham0
+
     def test_pricing_summary_pushes_filter_to_scan(self, spark):
         from rdf_go_spark.plans.analytics import q_pricing_summary
         plan = q_pricing_summary(spark, SMOKE)._jdf.queryExecution() \
