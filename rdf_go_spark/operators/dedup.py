@@ -116,12 +116,15 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
                           F.col("b.doc_id").alias("doc_b"))
                  .agg(F.count("*").alias("inter")))
     else:
-        # exact intersection over ALL shingles, restricted to candidates
+        # exact intersection over ALL shingles, restricted to candidates.
+        # No broadcast hint: the candidate-pair count is bounded only by
+        # ~max_df²/2 per shingle, which can exceed driver memory on a
+        # large corpus — let AQE pick the join strategy from actual size.
         sh_a = sh.select(F.col("doc_id").alias("doc_a"),
                          F.col("shingle").alias("sh_a"))
         sh_b = sh.select(F.col("doc_id").alias("_db"),
                          F.col("shingle").alias("sh_b"))
-        inter = (sh_a.join(F.broadcast(cand), "doc_a")
+        inter = (sh_a.join(cand, "doc_a")
                  .join(sh_b, (F.col("doc_b") == F.col("_db")) &
                        (F.col("sh_a") == F.col("sh_b")))
                  .groupBy("doc_a", "doc_b")

@@ -1,15 +1,17 @@
 """Multimodal-column plumbing: image/audio/video as opaque ``binary``
 columns with typed metadata.
 
-Payload synthesis is deterministic from document text, but the IMAGE and
-AUDIO payloads are real container formats — a minimal valid PNG (signature
-+ IHDR + IEND) and a minimal valid RIFF/WAVE file — and the decoders parse
+Payload synthesis is deterministic from document text, but all THREE
+payloads are real container formats — a minimal valid PNG (signature +
+IHDR + IEND), a minimal valid RIFF/WAVE file, and a minimal valid
+MP4/ISO-BMFF file (ftyp + moov/trak/tkhd + mdat) — and the decoders parse
 the actual bytes: PNG IHDR width/height via ``struct`` (big-endian u32 at
-offset 16) and WAV sample-rate/channels via the stdlib ``wave`` module.
-They work unchanged on any genuine PNG/WAV. Only the VIDEO decode remains
-a STUB (no ffmpeg/pyav in this container — clearly marked below); its
-Spark-side plumbing (binary column, Arrow batching, magic sniffing) is
-real and tested.
+offset 16), WAV sample-rate/channels via the stdlib ``wave`` module, and
+MP4 width/height by walking the box tree to ``tkhd`` and reading the
+16.16 fixed-point dimensions (v0 and v1 layouts, 64-bit largesize
+supported). They work unchanged on any genuine PNG/WAV/MP4 — frame
+DECODING (pixels/samples) would need ffmpeg/pillow, which this container
+lacks; header/metadata extraction is the real implemented surface.
 """
 
 from __future__ import annotations
@@ -50,6 +52,28 @@ _IHDR_TAIL = "0802000000"          # bit depth 8, truecolor, no interlace
 _IEND = "0000000049454e44ae426082"
 _WAV_RATES = [8000, 16000, 22050, 44100]
 _WAV_RATE_HEX_LE = ["401f0000", "803e0000", "22560000", "44ac0000"]
+
+# minimal ISO-BMFF skeleton: ftyp(16) + moov(108){trak(100){tkhd(92)}} +
+# mdat(16). tkhd v0: width/height are the LAST 8 body bytes (16.16 fixed).
+_MP4_FTYP = "00000010" + "66747970" + "69736f6d" + "00000200"
+_MP4_MOOV_HDR = "0000006c" + "6d6f6f76"
+_MP4_TRAK_HDR = "00000064" + "7472616b"
+_MP4_TKHD_HDR = "0000005c" + "746b6864"
+_MP4_TKHD_PRE = (
+    "00000007"                      # version 0, flags: enabled|movie|preview
+    + "00000000" * 2                # creation / modification time
+    + "00000001"                    # track ID
+    + "00000000"                    # reserved
+    + "00000000"                    # duration
+    + "00000000" * 2                # reserved[2]
+    + "00000000"                    # layer + alternate_group
+    + "00000000"                    # volume + reserved
+    + "00010000" + "00000000" * 3   # unity matrix
+    + "00010000" + "00000000" * 3
+    + "40000000")
+_MP4_MDAT_HDR = "00000010" + "6d646174"
+# file offset of tkhd width: ftyp 16 + hdrs 8*3 + body-pre 76 = 116 bytes
+_MP4_WIDTH_OFF_HEXCHARS = 116 * 2 + 1  # 1-indexed substr position = 233
 
 
 def _lehex16(v: int) -> str:
@@ -100,13 +124,19 @@ def synth_media(docs: DataFrame) -> DataFrame:
         rate_hex, brate_hex, balign_hex, F.lit("1000"),
         F.lit("64617461"), F.lit(_lehex32(8)), F.substring(h, 1, 16))
 
-    video_hex = F.concat(h, F.md5(F.concat(F.lit("x"), F.col("text"))))
+    vid_w = (F.lit(32) + b0 % 32).cast("long")
+    vid_h = (F.lit(32) + b1 % 32).cast("long")
+    video_hex = F.concat(
+        F.lit(_MP4_FTYP + _MP4_MOOV_HDR + _MP4_TRAK_HDR + _MP4_TKHD_HDR
+              + _MP4_TKHD_PRE),
+        _behex32(vid_w * 65536), _behex32(vid_h * 65536),  # 16.16 fixed
+        F.lit(_MP4_MDAT_HDR), F.substring(h, 1, 16))
 
     payload_hex = F.when(kind == "image", png_hex) \
         .when(kind == "audio", wav_hex).otherwise(video_hex)
     mime = F.when(kind == "image", F.lit("image/png")) \
         .when(kind == "audio", F.lit("audio/wav")) \
-        .otherwise(F.lit("video/synthetic"))
+        .otherwise(F.lit("video/mp4"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
@@ -137,17 +167,54 @@ def _decode_wav(b: bytes) -> Optional[Tuple[int, int]]:
         return None
 
 
-def _decode_stub(payload: bytes, kind: str):
-    """STUB — video decoders (ffmpeg / pyav) are unavailable in this
-    environment. Deterministic fake dimensions keep the pipeline testable."""
-    if kind == "video":
-        return 32 + payload[0] % 32, 32 + payload[1] % 32
-    return None, None
+def _decode_mp4(b: bytes) -> Optional[Tuple[int, int]]:
+    """Real ISO-BMFF parse: walk the box tree moov → trak → tkhd and read
+    the 16.16 fixed-point width/height (v0 body offset 76, v1 offset 88;
+    size==1 largesize and size==0 run-to-end boxes handled). Works on any
+    genuine MP4 — no media libs needed for header metadata."""
+    if len(b) < 16 or b[4:8] != b"ftyp":
+        return None
+
+    def find(start: int, end: int, typ: bytes) -> Optional[Tuple[int, int]]:
+        off = start
+        while off + 8 <= end:
+            size, = struct.unpack(">I", b[off:off + 4])
+            btyp = b[off + 4:off + 8]
+            hdr = 8
+            if size == 1:
+                if off + 16 > end:
+                    return None
+                size, = struct.unpack(">Q", b[off + 8:off + 16])
+                hdr = 16
+            elif size == 0:
+                size = end - off
+            if size < hdr or off + size > end:
+                return None
+            if btyp == typ:
+                return off + hdr, off + size
+            off += size
+        return None
+
+    span = find(0, len(b), b"moov")
+    if span:
+        span = find(span[0], span[1], b"trak")
+    if span:
+        span = find(span[0], span[1], b"tkhd")
+    if not span:
+        return None
+    body = b[span[0]:span[1]]
+    if not body:
+        return None
+    woff = 88 if body[0] == 1 else 76
+    if len(body) < woff + 8:
+        return None
+    w, h = struct.unpack(">II", body[woff:woff + 8])
+    return w >> 16, h >> 16
 
 
 def extract_metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Arrow-batched metadata extraction; PNG/WAV headers are parsed for
-    real, video falls back to the marked stub."""
+    """Arrow-batched metadata extraction; PNG/WAV/MP4 headers are all
+    parsed from the actual bytes."""
     for pdf in batches:
         rows = {k: [] for k in ("media_id", "kind", "n_bytes", "magic",
                                 "width", "height", "sample_rate", "channels")}
@@ -164,7 +231,9 @@ def extract_metadata_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
                 if fmt:
                     rate, ch = fmt
             else:
-                w, hgt = _decode_stub(b, kind)
+                dims = _decode_mp4(b)
+                if dims:
+                    w, hgt = dims
             rows["media_id"].append(int(mid))
             rows["kind"].append(kind)
             rows["n_bytes"].append(len(b))
@@ -185,24 +254,24 @@ def media_metadata_oracle(table: str = "documents") -> str:
     """Header-arithmetic twin: rebuilds the same payload hex, then PARSES
     it the way the decoders do — PNG width/height as big-endian u32 at
     byte 16/20 (hex chars 33/41), WAV channels as LE u16 at byte 22 and
-    sample rate as LE u32 at byte 24 (video keeps the marked stub's fake
-    dims from the first two payload bytes)."""
+    sample rate as LE u32 at byte 24, MP4 width/height as the 16.16
+    fixed-point big-endian u32 pair at the tkhd tail (byte 116 → hex char
+    233; >> 16 drops the fraction)."""
     return f"""
 WITH m AS (
   SELECT doc_id AS media_id,
          ['image','audio','video'][(doc_id % 3)::INT + 1] AS kind,
-         md5(text) AS h,
-         md5(text) || md5('x' || text) AS hex64
+         md5(text) AS h
   FROM {table}
 ),
 b AS (
-  SELECT media_id, kind, h, hex64,
+  SELECT media_id, kind, h,
          ('0x' || substr(h, 1, 2))::BIGINT AS b0,
          ('0x' || substr(h, 3, 2))::BIGINT AS b1
   FROM m
 ),
 payloads AS (
-  SELECT media_id, kind, b0, b1,
+  SELECT media_id, kind,
     CASE kind
       WHEN 'image' THEN '{_PNG_SIG}' || '{_IHDR}'
         || lpad(to_hex(16 + b0 % 64), 8, '0')
@@ -220,7 +289,10 @@ payloads AS (
            [((b1 % 4) * 2 + 1 + b0 % 2)::INT]
         || ['{_lehex16(2)}','{_lehex16(4)}'][(1 + b0 % 2)::INT] || '1000'
         || '64617461' || '{_lehex32(8)}' || substr(h, 1, 16)
-      ELSE hex64
+      ELSE '{_MP4_FTYP}{_MP4_MOOV_HDR}{_MP4_TRAK_HDR}{_MP4_TKHD_HDR}{_MP4_TKHD_PRE}'
+        || lpad(to_hex((32 + b0 % 32) * 65536), 8, '0')
+        || lpad(to_hex((32 + b1 % 32) * 65536), 8, '0')
+        || '{_MP4_MDAT_HDR}' || substr(h, 1, 16)
     END AS ph
   FROM b
 )
@@ -228,11 +300,11 @@ SELECT media_id, kind, (length(ph) / 2)::INT AS n_bytes,
        substr(ph, 1, 8) AS magic,
        CASE kind
          WHEN 'image' THEN ('0x' || substr(ph, 33, 8))::BIGINT
-         WHEN 'video' THEN 32 + ('0x' || substr(ph, 1, 2))::BIGINT % 32
+         WHEN 'video' THEN ('0x' || substr(ph, {_MP4_WIDTH_OFF_HEXCHARS}, 8))::BIGINT >> 16
        END::INT AS width,
        CASE kind
          WHEN 'image' THEN ('0x' || substr(ph, 41, 8))::BIGINT
-         WHEN 'video' THEN 32 + ('0x' || substr(ph, 3, 2))::BIGINT % 32
+         WHEN 'video' THEN ('0x' || substr(ph, {_MP4_WIDTH_OFF_HEXCHARS + 8}, 8))::BIGINT >> 16
        END::INT AS height,
        CASE kind WHEN 'audio' THEN
          ('0x' || substr(ph, 55, 2) || substr(ph, 53, 2)

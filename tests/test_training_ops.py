@@ -97,25 +97,23 @@ class TestAlgorithmic:
         media = synth_media(docs)
         row = media.first()
         assert isinstance(row.payload, (bytes, bytearray))
-        assert row.mime in ("image/png", "audio/wav", "video/synthetic")
+        assert row.mime in ("image/png", "audio/wav", "video/mp4")
         if row.mime == "image/png":
             assert bytes(row.payload)[:8] == b"\x89PNG\r\n\x1a\n"
         elif row.mime == "audio/wav":
             assert bytes(row.payload)[:4] == b"RIFF"
         else:
-            assert len(row.payload) == 32
-
-    def test_decode_stub_is_marked(self):
-        from rdf_go_spark.operators import multimodal
-        assert "STUB" in multimodal._decode_stub.__doc__
+            assert bytes(row.payload)[4:8] == b"ftyp"
 
     def test_real_decoders_on_genuine_files(self):
-        """PNG IHDR and WAV header decoders parse real files (built with
-        stdlib), not just the synthetic payloads."""
+        """PNG IHDR, WAV header, and MP4 tkhd decoders parse real files
+        (built with stdlib), not just the synthetic payloads."""
         import io
         import struct
         import wave
-        from rdf_go_spark.operators.multimodal import _decode_png, _decode_wav
+        from rdf_go_spark.operators.multimodal import (
+            _decode_mp4, _decode_png, _decode_wav,
+        )
         buf = io.BytesIO()
         w = wave.open(buf, "wb")
         w.setnchannels(2)
@@ -127,6 +125,25 @@ class TestAlgorithmic:
         png = (bytes.fromhex("89504e470d0a1a0a0000000d49484452")
                + struct.pack(">II", 640, 480) + bytes(5))
         assert _decode_png(png) == (640, 480)
+        # genuine-shape MP4: v1 tkhd (64-bit times), extra leading boxes,
+        # and a largesize (size==1) mdat — none match the synthetic layout
+        tkhd_body = (b"\x01\x00\x00\x07" + bytes(16) + struct.pack(">I", 2)
+                     + bytes(4) + bytes(8) + bytes(16)
+                     + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0,
+                                   0, 0, 0x40000000)
+                     + struct.pack(">II", 1920 << 16, 1080 << 16))
+        tkhd = struct.pack(">I", 8 + len(tkhd_body)) + b"tkhd" + tkhd_body
+        trak = struct.pack(">I", 8 + len(tkhd)) + b"trak" + tkhd
+        mvhd = struct.pack(">I", 16) + b"mvhd" + bytes(8)
+        moov = struct.pack(">I", 8 + len(mvhd) + len(trak)) + b"moov" \
+            + mvhd + trak
+        free = struct.pack(">I", 12) + b"free" + bytes(4)
+        mdat = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 24) \
+            + bytes(8)
+        mp4 = (struct.pack(">I", 20) + b"ftypisom" + bytes(8)
+               + free + mdat + moov)
+        assert _decode_mp4(mp4) == (1920, 1080)
+        assert _decode_mp4(b"\x00" * 64) is None
         assert _decode_png(b"notapng") is None
         assert _decode_wav(b"notawav") is None
 
