@@ -30,6 +30,24 @@ class TestMaterialize:
                   back.groupBy("part_id").agg(F.count("*").alias("cnt")).collect()}
         assert m == actual
 
+    def test_materialize_reads_data_in_one_job(self, spark, triples, tmp_path):
+        """Metrics are observe()-fused into the write: materialize over a
+        parquet input must run exactly ONE Spark job (the write) — no
+        separate aggregation pass over the input. (The kg_triples plan
+        itself adds broadcast-build jobs, so assert on a flat input.)"""
+        from rdf_go_spark.operators import graph
+        flat_path = str(tmp_path / "flat_in")
+        triples.write.parquet(flat_path)
+        flat = spark.read.parquet(flat_path)
+        sc = spark.sparkContext
+        sc.setJobGroup("mat_single_pass", "materialize one-job assertion")
+        try:
+            graph.materialize(flat, str(tmp_path / "g1j"), n_partitions=8)
+        finally:
+            sc.setJobGroup(None, None)
+        ids = sc.statusTracker().getJobIdsForGroup("mat_single_pass")
+        assert len(ids) == 1, f"expected 1 job, saw {len(ids)}"
+
     def test_resume_after_partial_commit(self, spark, triples, tmp_path):
         """Crash simulation: first run commits only 3 of 8 partitions;
         resume completes the rest; nothing is double-written."""
