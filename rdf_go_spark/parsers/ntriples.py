@@ -313,7 +313,8 @@ def parse_ntriples_line(line: str, allow_star: bool = False) -> Optional[Quad]:
     return Quad(s, p, o, None)
 
 
-def parse_nquads_line(line: str, generalized: bool = False) -> Optional[Quad]:
+def parse_nquads_line(line: str, generalized: bool = False,
+                      allow_star: bool = False) -> Optional[Quad]:
     """Parse one N-Quads line; None for blank/comment lines."""
     line = line.strip()
     if not line or line.startswith("#"):
@@ -321,7 +322,8 @@ def parse_nquads_line(line: str, generalized: bool = False) -> Optional[Quad]:
     fast = _fast_line(line, quads=True)
     if fast is not None:
         return fast
-    cur, s, p, o = _parse_core(line, generalized=generalized)
+    cur, s, p, o = _parse_core(line, generalized=generalized,
+                               allow_star=allow_star)
     graph = cur.parse_optional_graph()
     cur.skip_ws()
     if not cur.consume("."):
@@ -345,7 +347,8 @@ def parse_document(text: str, quads: bool = False,
     """
     if quads:
         def parse(line):
-            return parse_nquads_line(line, generalized=generalized)
+            return parse_nquads_line(line, generalized=generalized,
+                                     allow_star=allow_star)
     else:
         def parse(line):
             return parse_ntriples_line(line, allow_star=allow_star)

@@ -169,9 +169,11 @@ class TrigParser(TurtleParser):
 
 
 def parse_trig(text: str, base: str = "",
-               bnode_factory: Optional[Callable[[], BlankNode]] = None
+               bnode_factory: Optional[Callable[[], BlankNode]] = None,
+               star_semantics: str = "rdf12"
                ) -> Tuple[List[Quad], List[ParseError]]:
-    parser = TrigParser(text, base=base, bnode_factory=bnode_factory)
+    parser = TrigParser(text, base=base, bnode_factory=bnode_factory,
+                        star_semantics=star_semantics)
     try:
         return parser.parse(), []
     except ParseError as e:

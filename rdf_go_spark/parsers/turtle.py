@@ -57,7 +57,14 @@ def _default_bnode_factory():
 class TurtleParser:
     def __init__(self, text: str, base: str = "",
                  bnode_factory: Optional[Callable[[], BlankNode]] = None,
-                 max_depth: int = 100):
+                 max_depth: int = 100, star_semantics: str = "rdf12"):
+        """``star_semantics``: "rdf12" (default) = RDF 1.2 reifier
+        semantics (``<< s p o >>`` mints R + ``R rdf:reifies <<(s p o)>>``,
+        ``~`` reifiers, triple terms). "cg" = legacy 2021 Community Group
+        semantics (the reference's mode, rdf/turtle.go:1004-1072): quoted
+        triples ARE direct terms in subject/object position; annotations
+        attach to the quoted triple itself; no ``~`` and no ``<<( )>>``.
+        The two grammars are mutually contradictory — pick per document."""
         self.s = text
         self.pos = 0
         self.n = len(text)
@@ -66,6 +73,7 @@ class TurtleParser:
         self.version: Optional[str] = None
         self.new_bnode = bnode_factory or _default_bnode_factory()
         self.max_depth = max_depth
+        self.star_semantics = star_semantics
         self.triples: List[Quad] = []
 
     # -- low-level ----------------------------------------------------------
@@ -221,11 +229,19 @@ class TurtleParser:
             if self.peek() not in (".", "}", ""):
                 self.parse_predicate_object_list(subject, 0)
         elif self.startswith("<<"):
-            # reified triple as subject; standalone statement allowed
-            # (w3c turtle12-syntax-basic-04)
+            # reified triple as subject; standalone statement allowed in
+            # RDF 1.2 (w3c turtle12-syntax-basic-04) — but NOT in CG
+            # semantics (turtle-star-syntax-bad-02: a quoted triple alone
+            # asserts nothing and the grammar requires a po-list)
             subject = self.parse_subject(0)
             self.skip_ws()
-            if self.peek() not in (".", "}", ""):
+            if self.star_semantics == "cg":
+                if self.peek() in (".", "}", ""):
+                    raise self.error(
+                        "quoted-triple subject requires predicate-object "
+                        "list under CG star semantics")
+                self.parse_predicate_object_list(subject, 0)
+            elif self.peek() not in (".", "}", ""):
                 self.parse_predicate_object_list(subject, 0)
         else:
             subject = self.parse_subject(0)
@@ -300,7 +316,22 @@ class TurtleParser:
         current reifier (minting a fresh one + reifies triple if none).
         Each block consumes the pending ``~`` reifier if present, else mints
         a fresh one; consecutive blocks get fresh reifiers
-        (turtle12-eval-annotation-06 vs -10)."""
+        (turtle12-eval-annotation-06 vs -10).
+
+        CG semantics: no reifiers exist — each ``{| … |}`` block's triples
+        attach directly to the quoted triple ``<< s p o >>`` as subject
+        (turtle-star-eval-annotation-1..5)."""
+        if self.star_semantics == "cg":
+            while True:
+                self.skip_ws()
+                if self.startswith("{|"):
+                    self.parse_annotation_block(
+                        TripleTerm(subject, pred, obj), depth)
+                elif self.peek() == "~":
+                    raise self.error(
+                        "'~' reifier requires RDF 1.2 star semantics")
+                else:
+                    return
         pending: Optional[Term] = None
         while True:
             self.skip_ws()
@@ -401,6 +432,23 @@ class TurtleParser:
         """
         if depth >= self.max_depth:
             raise self.error("max depth exceeded")
+        if self.star_semantics == "cg":
+            # CG: << s p o >> IS the term — no reifier, no triple-term or
+            # '~' productions (those are RDF 1.2-only grammar)
+            self.expect("<<")
+            self.skip_ws()
+            if self.peek() == "(":
+                raise self.error(
+                    "'<<(' triple term requires RDF 1.2 star semantics")
+            s = self.parse_quoted_term(depth + 1, subject=True)
+            p = self.parse_predicate()
+            o = self.parse_quoted_term(depth + 1, subject=False)
+            self.skip_ws()
+            if self.peek() == "~":
+                raise self.error(
+                    "'~' reifier requires RDF 1.2 star semantics")
+            self.expect(">>")
+            return TripleTerm(s, p, o)
         self.expect("<<")
         if self.peek() == "(":
             if as_subject:
@@ -738,11 +786,14 @@ class TurtleParser:
 
 
 def parse_turtle(text: str, base: str = "",
-                 bnode_factory: Optional[Callable[[], BlankNode]] = None
+                 bnode_factory: Optional[Callable[[], BlankNode]] = None,
+                 star_semantics: str = "rdf12"
                  ) -> Tuple[List[Quad], List[ParseError]]:
     """Parse a Turtle document; single quarantined error (parse aborts at
-    the first syntax error, like the reference's sticky decoder)."""
-    parser = TurtleParser(text, base=base, bnode_factory=bnode_factory)
+    the first syntax error, like the reference's sticky decoder).
+    ``star_semantics="cg"`` opts into legacy 2021 CG RDF-star."""
+    parser = TurtleParser(text, base=base, bnode_factory=bnode_factory,
+                          star_semantics=star_semantics)
     try:
         return parser.parse(), []
     except ParseError as e:

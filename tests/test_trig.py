@@ -7,21 +7,25 @@ import pytest
 from rdf_go_spark.parsers.trig import parse_trig
 from tests.w3c_harness import check_case, collect, is_legacy
 
-ALL = (collect("trig", ".trig") + collect("trig/eval", ".trig")
-       + collect("trig/syntax", ".trig"))
-CASES = [p for p in ALL
-         if not ("bad" in os.path.basename(p) and is_legacy(os.path.basename(p)))]
+CASES = (collect("trig", ".trig") + collect("trig/eval", ".trig")
+         + collect("trig/syntax", ".trig"))
 
 
 def _parse(src, base):
     return parse_trig(src, base=base)
 
 
+def _parse_cg(src, base):
+    # legacy 2021 CG fixtures run under the compatibility mode
+    return parse_trig(src, base=base, star_semantics="cg")
+
+
 @pytest.mark.skipif(not CASES, reason="W3C fixtures unavailable")
 @pytest.mark.parametrize("path", CASES, ids=lambda p: os.path.relpath(
     p, "/root/reference/w3c-tests"))
 def test_w3c_trig(path):
-    failure = check_case(path, _parse, expected_ext=".nq", expected_quads=True)
+    parse = _parse_cg if is_legacy(os.path.basename(path)) else _parse
+    failure = check_case(path, parse, expected_ext=".nq", expected_quads=True)
     assert failure is None, failure
 
 

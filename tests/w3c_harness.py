@@ -23,8 +23,9 @@ BASES = [
     "http://www.w3.org/2001/sw/DataAccess/df1/tests/{}",
 ]
 
-# legacy RDF-star CG fixtures contradicted by the RDF 1.2 suite
-# (quoted triples as direct terms vs reifier semantics); we implement 1.2
+# legacy RDF-star CG fixtures contradict the RDF 1.2 suite (quoted
+# triples as direct terms vs reifier semantics); they run under the
+# opt-in star_semantics="cg" compatibility mode with FULL eval compare
 LEGACY_STAR_PREFIXES = ("turtle-star-eval", "trig-star-eval")
 LEGACY_STAR_EXACT = {"turtle-star-syntax-bad-02.ttl", "trig-star-syntax-bad-02.trig"}
 
@@ -59,8 +60,6 @@ def check_case(path: str,
         return None if errs else f"negative case parsed cleanly: {name}"
     if errs:
         return f"positive case failed: {name}: {errs[0]}"
-    if is_legacy(name):
-        return None
     exp_path = os.path.splitext(path)[0] + expected_ext
     if not os.path.exists(exp_path):
         return None
