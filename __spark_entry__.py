@@ -108,7 +108,9 @@ def _training_data_queries():
             .dedup_clusters(dedup.minhash_lsh_pairs(_docs(s, d))),
         # similarity search
         "emb_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
-        "emb_lsh_ann": lambda s, d: similarity.lsh_ann_topk(_emb(s, d)),
+        # multi-probe: the query bucket + all N_PLANES one-bit-flip probes
+        "emb_lsh_ann": lambda s, d: similarity.lsh_ann_topk(
+            _emb(s, d), multiprobe=similarity.N_PLANES),
         # synthetic embeddings are near-orthogonal (no planted dups), so
         # the demo threshold sits below the production 0.95 to exercise
         # the candidate+verify path with non-empty output
@@ -184,8 +186,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 def _build_oracles() -> dict[str, str]:
     from rdf_go_spark.operators import dedup, multimodal, textstats
     from rdf_go_spark.operators.similarity import (
-        cosine_topk_oracle, embedding_near_dup_oracle, ivf_ann_oracle,
-        label_centroids_oracle, lsh_ann_oracle,
+        N_PLANES, cosine_topk_oracle, embedding_near_dup_oracle,
+        ivf_ann_oracle, label_centroids_oracle, lsh_ann_oracle,
     )
     from rdf_go_spark.plans import analytics as A
     from rdf_go_spark.plans.oracles import kg_oracles
@@ -209,7 +211,7 @@ def _build_oracles() -> dict[str, str]:
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle(),
         "emb_cosine_topk": cosine_topk_oracle(),
-        "emb_lsh_ann": lsh_ann_oracle(),
+        "emb_lsh_ann": lsh_ann_oracle(multiprobe=N_PLANES),
         "emb_near_dup": embedding_near_dup_oracle(threshold=0.25),
         "emb_ivf_ann": ivf_ann_oracle(),
         "emb_label_centroids": label_centroids_oracle(),

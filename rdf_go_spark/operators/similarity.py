@@ -6,8 +6,14 @@ float[64], label).
   no UDF. Ranking uses (rounded cosine DESC, vec_id ASC) so results are
   reproducible across engines despite float summation order.
 - LSH-bucketed ANN (random hyperplanes): the scale path — signatures are
-  map-side, the join is bucket-equi; recall is validated in pytest against
-  the brute-force baseline (no SQL oracle — the planes are pseudo-random).
+  map-side, the join is bucket-equi, and multi-probe (the query bucket
+  plus its one-bit-flip neighbors) raises recall at bounded cost. The
+  planes are deterministic md5-derived integers, so they inline into the
+  DuckDB oracle as literal arrays and the driver hash-checks the query
+  exactly; sign inputs are quantized to integers (round(x*1e6)) so the
+  bucket bit can never differ between engines on a borderline dot
+  product. Recall is additionally validated in pytest against the
+  brute-force baseline.
 - label centroids: distributed array mean via posexplode + groupBy.
 """
 
@@ -115,7 +121,12 @@ def _sig_batches(dim: int):
                 yield pd.DataFrame({"vec_id": [], "bucket": []})
                 continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            signs = (mat @ planes.T) > 0
+            # quantize to integers before signing: |x|*1e6 <= ~1e6 and
+            # |plane| <= 128, so the dot is exact in f64 regardless of
+            # summation order — the sign can never disagree with the
+            # oracle's sequential list_dot_product on a borderline value
+            qmat = np.rint(mat * 1e6)
+            signs = (qmat @ planes.T) > 0
             buckets = (signs * (1 << np.arange(N_PLANES))).sum(axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),
                                 "bucket": buckets.astype("int32")})
@@ -123,12 +134,16 @@ def _sig_batches(dim: int):
 
 
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
-                 dim: int = 64) -> DataFrame:
+                 dim: int = 64, multiprobe: int = 0) -> DataFrame:
     """ANN: hyperplane-LSH bucket join, exact cosine within bucket.
 
     At 100 TB the bucket join replaces the full cross product with a
-    per-bucket product; multi-probe (flip one bit) would raise recall.
-    """
+    per-bucket product. ``multiprobe`` = number of one-bit-flip probe
+    buckets per query (0 = the query bucket only, N_PLANES = all
+    Hamming-1 neighbors): the query side explodes into 1+multiprobe
+    deterministic buckets — recall rises while the data side still joins
+    on its single bucket key (probes are query-side only, so the blowup
+    is bounded by the tiny broadcast side)."""
     sigs = embeddings.select("vec_id", "embedding").mapInPandas(
         _sig_batches(dim), schema=_SIG_SCHEMA)
     emb = embeddings.select(
@@ -138,6 +153,13 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
                .select(F.col("vec_id").alias("query_id"),
                        F.col("e").alias("q"),
                        F.col("bucket").alias("qbucket")))
+    if multiprobe:
+        probe_masks = [0] + [1 << j for j in range(multiprobe)]
+        queries = queries.select(
+            "query_id", "q",
+            F.explode(F.array(*[
+                F.col("qbucket").bitwiseXOR(F.lit(m)) for m in probe_masks]))
+            .alias("qbucket"))
     joined = emb.join(F.broadcast(queries),
                       (F.col("bucket") == F.col("qbucket")) &
                       (F.col("vec_id") != F.col("query_id")))
@@ -152,27 +174,41 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
                     F.col("rank").cast("int").alias("rank")))
 
 
-def lsh_ann_oracle(table: str = "embeddings", n_queries: int = 20,
-                   k: int = 5, dim: int = 64) -> str:
-    """DuckDB oracle for lsh_ann_topk: the hyperplanes are deterministic
-    md5-derived integers, so they inline as literal arrays —
-    list_dot_product sign == the numpy matmul sign (both f64)."""
+def _bucket_expr_sql(dim: int) -> str:
+    """Inlined hyperplane bucket expression over the 6-dp-quantized
+    integer vector ``vq`` — integer dot products are exact in f64, so the
+    sign matches the Spark side bit-for-bit."""
     planes = _plane_matrix(dim)
     sig_terms = []
     for j in range(N_PLANES):
         arr = "[" + ", ".join(str(int(x)) for x in planes[j]) + "]"
         sig_terms.append(
-            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
+            f"(CASE WHEN list_dot_product(vq, {arr}) > 0 "
             f"THEN {1 << j} ELSE 0 END)")
-    bucket_expr = "\n     + ".join(sig_terms)
+    return "\n     + ".join(sig_terms)
+
+
+def lsh_ann_oracle(table: str = "embeddings", n_queries: int = 20,
+                   k: int = 5, dim: int = 64, multiprobe: int = 0) -> str:
+    """DuckDB oracle for lsh_ann_topk: the hyperplanes are deterministic
+    md5-derived integers, so they inline as literal arrays; signatures
+    sign exact integer dots (see _bucket_expr_sql). Multi-probe explodes
+    the query bucket XOR each one-bit mask."""
+    masks = [0] + [1 << j for j in range(multiprobe)]
+    masks_sql = "[" + ", ".join(str(m) for m in masks) + "]"
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> round(x * 1000000)) AS vq
+           FROM {table}),
 sig AS (
   SELECT vec_id, v,
-       {bucket_expr} AS bucket
+       {_bucket_expr_sql(dim)} AS bucket
   FROM e),
-q AS (SELECT vec_id AS query_id, v AS q, bucket AS qbucket
-      FROM sig WHERE vec_id < {n_queries}),
+q AS (SELECT query_id, q, xor(qbucket::BIGINT, m.m::BIGINT) AS qbucket
+      FROM (SELECT vec_id AS query_id, v AS q, bucket AS qbucket
+            FROM sig WHERE vec_id < {n_queries}),
+           UNNEST({masks_sql}) AS m(m)),
 scored AS (
   SELECT q.query_id, s.vec_id AS neighbor_id,
          round(list_cosine_similarity(q.q, s.v), 4) AS cosine
@@ -413,21 +449,16 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
 def embedding_near_dup_oracle(table: str = "embeddings",
                               threshold: float = 0.95,
                               dim: int = 64) -> str:
-    """DuckDB twin: same inlined hyperplane buckets, same candidate join,
-    same rounded exact-cosine verify."""
-    planes = _plane_matrix(dim)
-    sig_terms = []
-    for j in range(N_PLANES):
-        arr = "[" + ", ".join(str(int(x)) for x in planes[j]) + "]"
-        sig_terms.append(
-            f"(CASE WHEN list_dot_product(v, {arr}) > 0 "
-            f"THEN {1 << j} ELSE 0 END)")
-    bucket_expr = "\n     + ".join(sig_terms)
+    """DuckDB twin: same inlined hyperplane buckets (exact integer-dot
+    signs), same candidate join, same rounded exact-cosine verify."""
     return f"""
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}),
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> round(x * 1000000)) AS vq
+           FROM {table}),
 sig AS (
   SELECT vec_id, v,
-       {bucket_expr} AS bucket
+       {_bucket_expr_sql(dim)} AS bucket
   FROM e)
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.v, b.v), 4) AS cosine

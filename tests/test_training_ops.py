@@ -23,7 +23,7 @@ TRAINING_QUERIES = [
     "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "emb_cosine_topk",
-    "emb_near_dup", "emb_label_centroids",
+    "emb_lsh_ann", "emb_near_dup", "emb_label_centroids",
     "media_metadata", "pricing_summary", "top_customers",
     "events_user_stats", "sessionize_events", "orders_without_lineitems",
     "repeat_buyers",
@@ -73,6 +73,38 @@ class TestAlgorithmic:
         brute_best = {r.query_id: r.cosine for r in brute if r.rank == 1}
         for qid, c in ann_best.items():
             assert c <= brute_best[qid] + 1e-9
+
+    def test_lsh_multiprobe_improves_recall(self, spark):
+        """Multi-probe (query bucket + all one-bit-flip neighbors) must
+        strictly dominate single-probe candidate coverage, and recover
+        planted near-dups whose perturbation flips exactly one plane bit
+        (the case single-probe is blind to by construction)."""
+        from rdf_go_spark.operators.similarity import N_PLANES, lsh_ann_topk
+        emb = spark.read.parquet(f"{SMOKE}/embeddings.parquet")
+        # candidate coverage: multiprobe is a strict superset (k unbounded)
+        single = {(r.query_id, r.neighbor_id)
+                  for r in lsh_ann_topk(emb, 10, 1000).collect()}
+        multi = {(r.query_id, r.neighbor_id)
+                 for r in lsh_ann_topk(emb, 10, 1000,
+                                       multiprobe=N_PLANES).collect()}
+        assert single <= multi and len(multi) > len(single)
+        # planted clones: +0.05 on every dim flips exactly one plane bit
+        # for some queries on this deterministic fixture — single-probe
+        # recall 0, multi-probe recovers them (true nearest: cosine ~1)
+        clones = (emb.filter(F.col("vec_id") < 10)
+                  .select((F.col("vec_id") + 1000).alias("vec_id"),
+                          F.transform("embedding", lambda x: x + 0.05)
+                          .alias("embedding"), "label"))
+        planted = emb.select("vec_id", "embedding", "label") \
+            .unionByName(clones)
+        want = {(q, q + 1000) for q in range(10)}
+        s_hits = {(r.query_id, r.neighbor_id)
+                  for r in lsh_ann_topk(planted, 10, 1000).collect()} & want
+        m_hits = {(r.query_id, r.neighbor_id)
+                  for r in lsh_ann_topk(planted, 10, 1000,
+                                        multiprobe=N_PLANES).collect()} & want
+        assert len(m_hits) > len(s_hits)
+        assert len(m_hits) >= 4  # pinned on the deterministic fixture
 
     def test_simhash_near_dups_have_small_hamming(self, spark):
         """Planted near-dups (jaccard >= 0.9) should sit within a small
