@@ -178,6 +178,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_streaming_turn_metrics": (lambda s, d: __import__(
         "rdf_go_spark.streaming.pipeline", fromlist=["x"])
         .kg_streaming_turn_metrics(s, d)),
+    "kg_streaming_prev_turn": (lambda s, d: __import__(
+        "rdf_go_spark.streaming.pipeline", fromlist=["x"])
+        .kg_streaming_prev_turn(s, d)),
     **_training_data_queries(),
     **_analytics_queries(),
 }
@@ -193,9 +196,12 @@ def _build_oracles() -> dict[str, str]:
     from rdf_go_spark.plans.oracles import kg_oracles
 
     oracles = kg_oracles(N_CONV_ORACLE)
-    oracles["kg_streaming_turn_metrics"] = __import__(
-        "rdf_go_spark.streaming.pipeline", fromlist=["x"]) \
-        .kg_streaming_turn_metrics_oracle_sql(N_CONV_ORACLE)
+    _streaming = __import__("rdf_go_spark.streaming.pipeline",
+                            fromlist=["x"])
+    oracles["kg_streaming_turn_metrics"] = \
+        _streaming.kg_streaming_turn_metrics_oracle_sql(N_CONV_ORACLE)
+    oracles["kg_streaming_prev_turn"] = \
+        _streaming.kg_streaming_prev_turn_oracle_sql(N_CONV_ORACLE)
     oracles.update({
         "doc_token_stats": textstats.token_stats_oracle(),
         "doc_lang_id": textstats.lang_id_oracle(),

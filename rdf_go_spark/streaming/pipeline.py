@@ -33,11 +33,76 @@ def stream_transcripts(spark: SparkSession, input_dir: str,
 
 def streaming_triples(transcripts: DataFrame,
                       entities: DataFrame = None) -> DataFrame:
-    """Triple extraction on a stream. The prev-turn window rule is omitted
-    (windows over unbounded streams need state; covered instead by the
-    windowed-metrics query below) — everything else is identical to batch."""
+    """Stateless triple extraction on a stream. The prev-turn lag rule
+    needs per-conversation state on an unbounded stream — it is the
+    stateful companion operator ``streaming_prev_turn`` below; union the
+    two streams for full batch parity."""
     return extract_triples(transcripts, entities=entities,
                            include_payload=True, include_prev_turn=False)
+
+
+def streaming_prev_turn(transcripts: DataFrame) -> DataFrame:
+    """The batch prev-turn window rule as a custom stateful streaming
+    operator (applyInPandasWithState keyed on conv_id): every turn with
+    turn_idx > 0 emits ``bnode(conv,idx) v:prevTurn bnode(conv,idx-1)``
+    exactly once, even when a conversation's turns arrive out of order
+    across many micro-batches. State per conversation is one LONG bitmask
+    of already-emitted turn indexes (turns beyond bit 62 fall back to a
+    hex-set string — unbounded-turn safety without unbounded state for
+    the common case). Output matches batch extraction's prevTurn triples
+    byte-for-byte (deterministic sha256 skolem bnodes,
+    operators/extraction.py)."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("conv_id string, turn_idx int, subj string, "
+                  "pred string, obj string")
+    state_schema = "seen long, overflow string"
+
+    def bnode(conv_id: str, idx: int) -> str:
+        return "_:b" + hashlib.sha256(
+            f"{conv_id}|{idx}".encode()).hexdigest()[:16]
+
+    def lag(key, pdf_iter, state):
+        conv_id = key[0]
+        if state.exists:
+            seen, overflow = state.get
+            big = set(overflow.split(",")) - {""} if overflow else set()
+        else:
+            seen, big = 0, set()
+        rows = {"conv_id": [], "turn_idx": [], "subj": [], "pred": [],
+                "obj": []}
+        for pdf in pdf_iter:
+            for t in pdf["turn_idx"]:
+                t = int(t)
+                if t <= 0:
+                    continue
+                if t < 63:
+                    if (seen >> t) & 1:
+                        continue
+                    seen |= 1 << t
+                else:
+                    if str(t) in big:
+                        continue
+                    big.add(str(t))
+                rows["conv_id"].append(conv_id)
+                rows["turn_idx"].append(t)
+                rows["subj"].append(bnode(conv_id, t))
+                rows["pred"].append("<http://example.org/v/prevTurn>")
+                rows["obj"].append(bnode(conv_id, t - 1))
+        state.update((seen, ",".join(sorted(big))))
+        if rows["conv_id"]:
+            yield pd.DataFrame(rows)
+
+    return (transcripts
+            .groupBy("conv_id")
+            .applyInPandasWithState(
+                lag, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
 
 
 def windowed_turn_metrics(transcripts: DataFrame,
@@ -151,26 +216,76 @@ def kg_streaming_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     forbids exact distinct) so the DuckDB oracle is the same aggregation
     over the same deterministic transcripts — epoch-aligned window start
     == date_trunc('hour', ts)."""
-    import tempfile
-    import uuid
-
     from ..sources.transcripts import n_conv_for_sf_dir, synth_transcripts
 
     n = n_conv_for_sf_dir(sf_dir)
+
+    def build(stream):
+        return (stream
+                .withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("w"), F.col("role"))
+                .agg(F.count("*").alias("n_turns"))
+                .select(F.date_format(F.col("w.start"),
+                                      "yyyy-MM-dd HH:mm:ss")
+                        .alias("window_start"), "role", "n_turns"))
+
+    return _drain_stream_query(
+        spark, synth_transcripts(spark, n), build,
+        "window_start string, role string, n_turns long", complete=True)
+
+
+def _drain_stream_query(spark: SparkSession, batch_input: DataFrame,
+                        build, result_schema: str,
+                        complete: bool = False) -> DataFrame:
+    """Shared drain harness for driver-facing streaming queries: write the
+    deterministic input to a temp parquet dir, re-read it as a file
+    stream, run ``build(stream)``, drain with availableNow into a memory
+    sink, then localize the (small) result and CLEAN UP — the temp dir,
+    checkpoint, and memory-sink table do not accumulate across repeated
+    driver runs."""
+    import shutil
+    import tempfile
+    import uuid
+
     base = tempfile.mkdtemp(prefix="kg_stream_")
-    data_dir = f"{base}/input"
-    synth_transcripts(spark, n).write.mode("overwrite").parquet(data_dir)
-    stream = stream_transcripts(spark, data_dir)
-    metrics = (stream
-               .withWatermark("ts", "2 hours")
-               .groupBy(F.window("ts", "1 hour").alias("w"), F.col("role"))
-               .agg(F.count("*").alias("n_turns")))
-    name = "kg_stream_metrics_" + uuid.uuid4().hex[:8]
-    run_availablenow_complete(metrics, f"{base}/ckpt", name)
-    return (spark.table(name)
-            .select(F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss")
-                    .alias("window_start"),
-                    "role", "n_turns"))
+    name = "kg_stream_" + uuid.uuid4().hex[:8]
+    try:
+        data_dir = f"{base}/input"
+        batch_input.write.mode("overwrite").parquet(data_dir)
+        out = build(stream_transcripts(spark, data_dir))
+        runner = run_availablenow_complete if complete else run_availablenow
+        runner(out, f"{base}/ckpt", name)
+        rows = spark.table(name).collect()
+    finally:
+        spark.catalog.dropTempView(name)
+        shutil.rmtree(base, ignore_errors=True)
+    return spark.createDataFrame(rows, result_schema)
+
+
+def kg_streaming_prev_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-facing stateful streaming query: the prev-turn lag rule
+    (streaming_prev_turn) over the sf-scale transcripts arriving as a
+    multi-batch file stream. The drained edge set must equal batch
+    extraction's prevTurn triples — the oracle is the same arithmetic
+    rule the batch kg_triples oracle uses, filtered to the predicate."""
+    from ..sources.transcripts import n_conv_for_sf_dir, synth_transcripts
+
+    n = n_conv_for_sf_dir(sf_dir)
+    return _drain_stream_query(
+        spark, synth_transcripts(spark, n), streaming_prev_turn,
+        "conv_id string, turn_idx int, subj string, pred string, obj string")
+
+
+def kg_streaming_prev_turn_oracle_sql(n_conv: int) -> str:
+    from ..sources.transcripts import transcripts_sql
+    return f"""
+WITH {transcripts_sql(n_conv)}
+SELECT conv_id, turn_idx::INT AS turn_idx,
+       '_:b' || substr(sha256(conv_id || '|' || turn_idx::VARCHAR), 1, 16) AS subj,
+       '<http://example.org/v/prevTurn>' AS pred,
+       '_:b' || substr(sha256(conv_id || '|' || (turn_idx - 1)::VARCHAR), 1, 16) AS obj
+FROM transcripts WHERE turn_idx > 0
+""".strip()
 
 
 def kg_streaming_turn_metrics_oracle_sql(n_conv: int) -> str:

@@ -131,6 +131,44 @@ class TestStatefulAssembly:
             assert row.text_sha == st["h"].hexdigest()[:16]
 
 
+class TestStatefulPrevTurn:
+    def test_prev_turn_matches_batch_across_batches(
+            self, spark, transcript_dir, tmp_path):
+        """The stateful lag rule over a MULTI-micro-batch stream (4 files,
+        maxFilesPerTrigger=2 → conversations span batches) must equal
+        batch extraction's prevTurn triples exactly, with no duplicates."""
+        from rdf_go_spark.plans.pipeline import kg_triples
+        from rdf_go_spark.streaming import (
+            run_availablenow, stream_transcripts, streaming_prev_turn,
+        )
+        stream = stream_transcripts(spark, transcript_dir,
+                                    max_files_per_trigger=2)
+        run_availablenow(streaming_prev_turn(stream),
+                         str(tmp_path / "ckpt_pt"), "stream_prev_turn")
+        got = [(r.subj, r.pred, r.obj)
+               for r in spark.sql("select * from stream_prev_turn").collect()]
+        batch = kg_triples(spark, "/root/testdata/sf0.001")
+        expected = [(r.subj, r.pred, r.obj) for r in batch.filter(
+            F.col("pred") == "<http://example.org/v/prevTurn>")
+            .collect() if r.conv_id < "conv-000040"]
+        assert len(got) == len(set(got)), "duplicate edges across batches"
+        assert sorted(got) == sorted(expected)
+
+    def test_prev_turn_driver_query_matches_oracle(self, spark, duck):
+        import __spark_entry__ as e
+
+        from rdf_go_spark.sources.transcripts import n_conv_for_sf_dir
+        from rdf_go_spark.streaming.pipeline import (
+            kg_streaming_prev_turn_oracle_sql,
+        )
+        from tests.conftest import assert_frames_match
+        sdf = e.queries()["kg_streaming_prev_turn"](
+            spark, "/root/testdata/sf0.001")
+        ddf = duck.execute(kg_streaming_prev_turn_oracle_sql(
+            n_conv_for_sf_dir("/root/testdata/sf0.001"))).df()
+        assert_frames_match(sdf, ddf)
+
+
 def test_streaming_turn_metrics_matches_oracle(spark, duck):
     """The driver-facing streaming query (file stream -> watermarked
     windowed agg -> availableNow drain) must value-match its DuckDB
