@@ -31,6 +31,7 @@ def main() -> None:
     # headline subset: one per operator family (full list via env override)
     default_names = [
         "kg_triples", "kg_entity_mentions", "kg_conversation_stats",
+        "kg_two_hop",
         "dedup_minhash_lsh", "dedup_minhash_k128", "dedup_simhash",
         "emb_cosine_topk",
         "doc_token_stats", "pricing_summary", "top_customers",

@@ -154,6 +154,24 @@ def materialize(triples: DataFrame, root: str,
             "total_rows": int(sum(r["n_rows"] for r in metrics_rows))}
 
 
+def _drop_managed_table(spark: SparkSession, table: str) -> None:
+    """DROP TABLE IF EXISTS plus stale-location cleanup: the in-memory
+    catalog forgets managed tables between sessions while their warehouse
+    directories persist, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS on the next session's first write."""
+    import shutil
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "")
+    for prefix in ("file://", "file:"):
+        if wh.startswith(prefix):
+            wh = wh[len(prefix):]
+            break
+    loc = os.path.join(wh, table.lower())
+    if wh and os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
+
+
 def materialize_bucketed(triples: DataFrame, table_name: str,
                          n_buckets: int = 32,
                          bucket_col: str = "subj") -> None:
@@ -162,6 +180,7 @@ def materialize_bucketed(triples: DataFrame, table_name: str,
     100 TB answer to repeated subject-keyed joins (entity resolution,
     graph traversal steps). Verified in tests: a self-join plan on the
     bucket column contains no Exchange."""
+    _drop_managed_table(triples.sparkSession, table_name)
     (triples.write.mode("overwrite")
      .bucketBy(n_buckets, bucket_col)
      .sortBy(bucket_col)
@@ -181,6 +200,7 @@ def materialize_adjacency(triples: DataFrame, prefix: str,
     Returns the two table names."""
     by_subj, by_obj = f"{prefix}_by_subj", f"{prefix}_by_obj"
     for table, col in ((by_subj, "subj"), (by_obj, "obj")):
+        _drop_managed_table(triples.sparkSession, table)
         (triples.write.mode("overwrite")
          .bucketBy(n_buckets, col)
          .sortBy(col)
