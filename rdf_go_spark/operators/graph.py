@@ -198,14 +198,18 @@ def materialize_adjacency(triples: DataFrame, prefix: str,
     property-graph answer to multi-hop traversal over 100 TB (each hop is
     a co-located sort-merge join; 2× storage buys shuffle-free hops).
     Returns the two table names."""
+    spark = triples.sparkSession
     by_subj, by_obj = f"{prefix}_by_subj", f"{prefix}_by_obj"
     for table, col in ((by_subj, "subj"), (by_obj, "obj")):
-        _drop_managed_table(triples.sparkSession, table)
+        _drop_managed_table(spark, table)
         (triples.write.mode("overwrite")
          .bucketBy(n_buckets, col)
          .sortBy(col)
          .format("parquet")
          .saveAsTable(table))
+        # the second copy reads the first table back (a plain columnar
+        # scan) instead of re-running the upstream pipeline
+        triples = spark.table(by_subj)
     return by_subj, by_obj
 
 
@@ -226,6 +230,45 @@ def two_hop_edges(spark: SparkSession, by_subj: str, by_obj: str) -> DataFrame:
                     F.col("e2.pred").alias("pred2"),
                     F.col("e2.obj").alias("dst"),
                     F.col("e2.obj_is_literal").alias("dst_is_literal")))
+
+
+def two_hop_census(spark: SparkSession, by_subj: str, by_obj: str) -> DataFrame:
+    """Per-(pred1, pred2) two-hop path census WITHOUT materializing the
+    paths: ``n_paths = Σ_mid in_deg(mid, pred1) × out_deg(mid, pred2)``.
+
+    The naive hop join is quadratic on hot mid nodes (a popular entity
+    with d in-edges and d out-edges contributes d² rows before the
+    count); at 100 TB that materialization is the bottleneck. Degrees
+    aggregate on the bucket columns first (partitioned-by-obj satisfies
+    the (obj, pred) clustering — no exchange), the degree join runs
+    bucket-co-located, and only the tiny (pred1, pred2) rollup shuffles.
+    ``n_src`` distinct-counts sources through a distinct-first semi-join,
+    again linear in |E|. Semantics identical to counting two_hop_edges
+    (the DuckDB oracle states it as the join)."""
+    e1 = spark.table(by_obj).filter(~F.col("obj_is_literal"))
+    e2 = spark.table(by_subj)
+    in_deg = (e1.groupBy(F.col("obj").alias("mid"),
+                         F.col("pred").alias("pred1"))
+              .agg(F.count("*").alias("n_in")))
+    out_deg = (e2.groupBy(F.col("subj").alias("mid"),
+                          F.col("pred").alias("pred2"))
+               .agg(F.count("*").alias("n_out")))
+    pair = in_deg.join(out_deg, "mid")
+    paths = (pair.groupBy("pred1", "pred2")
+             .agg(F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"),
+                  F.count_distinct("mid").alias("n_mid")))
+    # distinct sources per (pred1, pred2): dedupe BEFORE the join so hot
+    # mids cannot multiply rows
+    src1 = (e1.select(F.col("subj").alias("src"),
+                      F.col("pred").alias("pred1"),
+                      F.col("obj").alias("mid")).distinct())
+    mid_p2 = e2.select(F.col("subj").alias("mid"),
+                       F.col("pred").alias("pred2")).distinct()
+    n_src = (src1.join(mid_p2, "mid")
+             .select("pred1", "pred2", "src").distinct()
+             .groupBy("pred1", "pred2")
+             .agg(F.count("*").alias("n_src")))
+    return paths.join(n_src, ["pred1", "pred2"])
 
 
 def read_graph(spark: SparkSession, root: str,

@@ -212,22 +212,18 @@ FROM base GROUP BY 1
 
 
 def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """2-hop traversal over the materialized dual-adjacency graph tables
-    (operators/graph.py): subject→object→subject sort-merge join on the
-    bucket columns (zero Exchange, plan-asserted in tests), then a tiny
-    per-(pred1, pred2) path census. The heavy op is the hop join; the
-    aggregate keeps the driver compare small and order-free."""
-    from pyspark.sql import functions as F
-
-    from ..operators.graph import materialize_adjacency, two_hop_edges
+    """2-hop traversal census over the materialized dual-adjacency graph
+    tables (operators/graph.py): degrees aggregate on the bucket columns
+    and join co-located (two_hop_census) — the hot-entity fan-out is
+    counted as Σ in_deg×out_deg instead of materialized (at sf0.1 the
+    naive hop join builds ~112M rows through 81 hot entities; the census
+    is linear in |E|). two_hop_edges remains the row-level operator for
+    consumers that want the paths themselves."""
+    from ..operators.graph import materialize_adjacency, two_hop_census
 
     t = kg_triples(spark, sf_dir)
     by_subj, by_obj = materialize_adjacency(t, "kg_graph", n_buckets=8)
-    paths = two_hop_edges(spark, by_subj, by_obj)
-    return (paths.groupBy("pred1", "pred2")
-            .agg(F.count("*").alias("n_paths"),
-                 F.count_distinct("mid").alias("n_mid"),
-                 F.count_distinct("src").alias("n_src")))
+    return two_hop_census(spark, by_subj, by_obj)
 
 
 def kg_two_hop_oracle_sql(n_conv: int) -> str:

@@ -188,3 +188,29 @@ class TestBucketedJoins:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             for t in ("graph_adj_test_by_subj", "graph_adj_test_by_obj"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+    def test_two_hop_census_never_shuffles_on_mid(self, spark, triples):
+        """The degree-census traversal (the driver query's shape) must do
+        ALL mid-keyed work — degree aggs, degree join, distinct-src
+        semi-join — on the bucket columns without an Exchange; the only
+        shuffles allowed are on the tiny (pred1, pred2[, src]) rollup
+        keys. This is what keeps the hot-entity 2-hop linear at 100 TB."""
+        from rdf_go_spark.operators.graph import (
+            materialize_adjacency, two_hop_census,
+        )
+        by_subj, by_obj = materialize_adjacency(
+            triples, "graph_census_test", n_buckets=8)
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = two_hop_census(spark, by_subj, by_obj)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            exchanges = [ln for ln in plan.splitlines() if "Exchange" in ln]
+            assert exchanges, "expected the rollup shuffles to exist"
+            for ln in exchanges:
+                assert "pred1" in ln, f"mid-keyed shuffle leaked: {ln.strip()}"
+            assert df.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            for t in ("graph_census_test_by_subj", "graph_census_test_by_obj"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
