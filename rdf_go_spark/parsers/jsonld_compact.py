@@ -163,9 +163,21 @@ def flatten(text_or_doc, context=None, base: str = "", loader=None,
                  if set(default_graph[sid]) != {"@id"}]
     if context is None:
         return flattened
-    return compact(flattened, context, base=base, loader=loader,
-                   compact_arrays=compact_arrays, ordered=ordered,
-                   processing_mode=processing_mode)
+    result = compact(flattened, context, base=base, loader=loader,
+                     compact_arrays=compact_arrays, ordered=ordered,
+                     processing_mode=processing_mode)
+    # API flatten step 8: with a context the node list always sits under
+    # @graph, even when compaction collapsed it to a single node map
+    # (w3c html/f001) or an array (defensive)
+    if isinstance(result, list):
+        return {"@graph": result}
+    rest = {k: v for k, v in result.items() if k != "@context"}
+    if rest and set(rest) != {"@graph"}:
+        wrapped = {"@graph": [rest]}
+        if "@context" in result:
+            wrapped = {"@context": result["@context"], "@graph": [rest]}
+        return wrapped
+    return result
 
 
 # ---------------------------------------------------------------------------
