@@ -109,11 +109,14 @@ bus across all task threads — a conservative lower bound on multi-executor
 scaling, where shuffles cross machines but executors don't contend for a
 socket.
 """
+    # BENCH/BASELINE.md is hand-curated (interpretation, calibration,
+    # data-scaling sections) — never clobber it; write a sidecar instead
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    out_path = os.path.join(REPO, "BENCH", "scaling_latest.md")
+    with open(out_path, "w") as f:
         f.write(md)
     print(f"efficiency: {eff}")
-    print("wrote BENCH/BASELINE.md")
+    print(f"wrote {out_path}")
 
 
 if __name__ == "__main__":
