@@ -92,6 +92,8 @@ def _training_data_queries():
         "doc_token_stats": lambda s, d: textstats.token_stats(_docs(s, d)),
         "doc_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
         "doc_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
+        "doc_bpe_tokens": lambda s, d: textstats.bpe_token_stats(_docs(s, d)),
+        "doc_rolling_fp": lambda s, d: textstats.rolling_fingerprint(_docs(s, d)),
         "doc_exact_dedup": lambda s, d: textstats.exact_dedup(_docs(s, d)),
         # near-dup detection
         # df-capped candidates (scale guard for hot shingles); exact
@@ -206,6 +208,8 @@ def _build_oracles() -> dict[str, str]:
         "doc_token_stats": textstats.token_stats_oracle(),
         "doc_lang_id": textstats.lang_id_oracle(),
         "doc_fingerprint": textstats.fingerprint_oracle(),
+        "doc_bpe_tokens": textstats.bpe_token_stats_oracle(),
+        "doc_rolling_fp": textstats.rolling_fingerprint_oracle(),
         "doc_exact_dedup": textstats.exact_dedup_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(max_df=100),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),

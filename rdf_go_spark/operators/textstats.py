@@ -2,8 +2,10 @@
 ``documents`` table — all JVM-side column expressions (whole-stage codegen,
 zero Python on the hot path), each with an exact DuckDB oracle twin.
 
-Operators: token counting, quality scoring (length/punct/stopword ratios),
-n-gram language ID heuristic, document fingerprinting.
+Operators: token counting (whitespace + a BPE-ish pre-tokenizer regex),
+quality scoring (length/punct/stopword ratios), n-gram language ID
+heuristic, document fingerprinting (normalized-md5 + order-sensitive
+polynomial rolling hash).
 """
 
 from __future__ import annotations
@@ -58,6 +60,52 @@ FROM {table}
 """.strip()
 
 
+# GPT-2-style pre-tokenizer, restricted to the regex subset Java regex
+# and RE2 (DuckDB) evaluate identically: contraction suffixes, space-
+# prefixed letter/digit runs, space-prefixed punctuation runs, whitespace.
+# (The original's \p{L}/\p{N} classes and the (?!\S) lookahead are
+# avoided — RE2 has no lookahead and unicode classes differ at the edges.)
+_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def bpe_token_stats(docs: DataFrame) -> DataFrame:
+    """Subword-style token accounting: pieces under the BPE-ish
+    pre-tokenizer vs whitespace words, plus fertility (pieces per word —
+    the metric that prices a corpus in tokens). Pure column expressions;
+    regexp_extract_all stays in codegen."""
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    words = F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), "")
+    n_pieces = F.size(pieces)
+    n_words = F.size(words)
+    return docs.select(
+        "doc_id",
+        n_pieces.alias("n_pieces"),
+        n_words.alias("n_words"),
+        F.round(n_pieces / F.greatest(n_words, F.lit(1)), 6)
+        .alias("fertility"),
+        F.round(F.length("text") / F.greatest(n_pieces, F.lit(1)), 6)
+        .alias("chars_per_piece"),
+    )
+
+
+def bpe_token_stats_oracle(table: str = "documents") -> str:
+    bpe_sql = _BPE_RE.replace("'", "''")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{bpe_sql}'))::INT AS n_pieces,
+         len(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                         x -> x <> ''))::INT AS n_words,
+         length(text) AS n_chars
+  FROM {table}
+)
+SELECT doc_id, n_pieces, n_words,
+       round(n_pieces * 1.0 / greatest(n_words, 1), 6) AS fertility,
+       round(n_chars * 1.0 / greatest(n_pieces, 1), 6) AS chars_per_piece
+FROM t
+""".strip()
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """n-gram-free heuristic language ID: ratio of English stopword hits
     to tokens; >= 0.05 → 'en', else 'unk'. (A real model is out of scope;
@@ -105,6 +153,45 @@ def fingerprint_oracle(table: str = "documents") -> str:
 SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '{_TOKEN_RE}', ' ', 'g'))) AS fp
 FROM {table}
+""".strip()
+
+
+ROLL_B = 131
+ROLL_M = (1 << 31) - 1
+
+
+def rolling_fingerprint(docs: DataFrame) -> DataFrame:
+    """Order-SENSITIVE polynomial rolling hash over the token stream:
+    ``h = fold(tokens, acc -> (acc*B + hash31(tok)) % M)`` — unlike the
+    normalized-md5 fingerprint, token reordering changes it, so it
+    distinguishes shuffled near-copies. All arithmetic in plain LONG
+    (max acc*B + h < 2^39), portable to the DuckDB oracle via
+    list_reduce over the same md5-derived 31-bit token hashes."""
+    from .dedup import _hash31
+
+    toks = F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), "")
+    hashes = F.transform(toks, lambda t: _hash31(t))
+    roll = F.aggregate(
+        hashes, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * ROLL_B + x, F.lit(ROLL_M)))
+    return docs.select("doc_id", roll.alias("roll_fp"))
+
+
+def rolling_fingerprint_oracle(table: str = "documents") -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                       x -> x <> ''),
+           tok -> (md5_number_lower(tok) & 2147483647)::BIGINT) AS hs
+  FROM {table}
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN 0
+            ELSE list_reduce(hs, (a, x) -> (a * {ROLL_B} + x) % {ROLL_M})
+       END::BIGINT AS roll_fp
+FROM t
 """.strip()
 
 

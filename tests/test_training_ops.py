@@ -21,6 +21,7 @@ def entrymod():
 
 TRAINING_QUERIES = [
     "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
+    "doc_bpe_tokens", "doc_rolling_fp",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "emb_cosine_topk",
     "emb_lsh_ann", "emb_near_dup", "emb_label_centroids",
@@ -73,6 +74,30 @@ class TestAlgorithmic:
         brute_best = {r.query_id: r.cosine for r in brute if r.rank == 1}
         for qid, c in ann_best.items():
             assert c <= brute_best[qid] + 1e-9
+
+    def test_rolling_fp_is_order_sensitive(self, spark):
+        """Unlike the normalized-md5 fingerprint, the polynomial rolling
+        hash distinguishes token order (shuffled near-copies)."""
+        from rdf_go_spark.operators.textstats import (
+            fingerprint, rolling_fingerprint,
+        )
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "")],
+            "doc_id long, text string")
+        md5fp = {r.doc_id: r.fp for r in fingerprint(df).collect()}
+        roll = {r.doc_id: r.roll_fp
+                for r in rolling_fingerprint(df).collect()}
+        assert md5fp[1] != md5fp[2]  # md5 over normalized text differs too
+        assert roll[1] != roll[2]
+        assert roll[3] == 0  # empty doc convention, both engines
+
+    def test_bpe_pieces_have_zero_python_stages(self, spark):
+        from rdf_go_spark.operators.textstats import bpe_token_stats
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        plan = bpe_token_stats(docs)._jdf.queryExecution() \
+            .executedPlan().toString()
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+            assert marker not in plan, marker
 
     def test_lsh_multiprobe_improves_recall(self, spark):
         """Multi-probe (query bucket + all one-bit-flip neighbors) must
