@@ -122,6 +122,7 @@ def _training_data_queries():
         "emb_label_centroids": lambda s, d: similarity.label_centroids(_emb(s, d)),
         # multimodal plumbing
         "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
+        "media_audio_frames": lambda s, d: multimodal.audio_frame_stats(_docs(s, d)),
     }
 
 
@@ -226,6 +227,7 @@ def _build_oracles() -> dict[str, str]:
         "emb_ivf_ann": ivf_ann_oracle(),
         "emb_label_centroids": label_centroids_oracle(),
         "media_metadata": multimodal.media_metadata_oracle(),
+        "media_audio_frames": multimodal.audio_frame_stats_oracle(),
         "pricing_summary": A.q_pricing_summary_oracle(),
         "top_customers": A.q_top_customers_oracle(),
         "events_user_stats": A.q_events_user_stats_oracle(),

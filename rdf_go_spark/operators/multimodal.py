@@ -250,6 +250,86 @@ def media_metadata(docs: DataFrame) -> DataFrame:
     return media.mapInPandas(extract_metadata_batches, schema=META_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Audio frame decode + feature extraction (real PCM samples)
+# ---------------------------------------------------------------------------
+
+_AUDIO_FRAMES_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("n_channels", IntegerType(), False),
+    StructField("n_frames", IntegerType(), False),
+    StructField("n_samples", IntegerType(), False),
+    StructField("first_sample", IntegerType(), False),
+    StructField("sum_sq", LongType(), False),
+])
+
+
+def _audio_frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched REAL PCM decode: stdlib ``wave`` reads the frames,
+    numpy interprets the little-endian int16 samples. Integer features
+    (first sample, sum of squares) leave the UDF; the float rms is
+    derived JVM-side so both engines round the same doubles."""
+    import numpy as np
+
+    for pdf in batches:
+        rows = {k: [] for k in ("media_id", "n_channels", "n_frames",
+                                "n_samples", "first_sample", "sum_sq")}
+        for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+            with wave_mod.open(io.BytesIO(bytes(payload))) as wf:
+                ch = wf.getnchannels()
+                nf = wf.getnframes()
+                data = wf.readframes(nf)
+            samples = np.frombuffer(data, dtype="<i2").astype(np.int64)
+            rows["media_id"].append(int(mid))
+            rows["n_channels"].append(ch)
+            rows["n_frames"].append(nf)
+            rows["n_samples"].append(len(samples))
+            rows["first_sample"].append(int(samples[0]) if len(samples) else 0)
+            rows["sum_sq"].append(int((samples * samples).sum()))
+        yield pd.DataFrame(rows)
+
+
+def audio_frame_stats(docs: DataFrame) -> DataFrame:
+    """Decode + feature-extract over the audio modality: per-clip channel
+    count, frame count, first sample, and rms amplitude from the ACTUAL
+    PCM bytes (works on any genuine 16-bit WAV). The pre-filter keeps the
+    Python stage map-only over the audio third of the corpus."""
+    media = synth_media(docs).filter(F.col("kind") == "audio")
+    raw = media.select("media_id", "payload").mapInPandas(
+        _audio_frame_batches, schema=_AUDIO_FRAMES_SCHEMA)
+    return raw.select(
+        "media_id", "n_channels", "n_frames", "n_samples", "first_sample",
+        F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4).alias("rms"))
+
+
+def audio_frame_stats_oracle(table: str = "documents") -> str:
+    """Arithmetic twin: the synthetic WAV's data chunk is md5(text) bytes
+    0..7, so the four LE int16 samples are hex-char pairs — signed via
+    the two's-complement fold, rms over the same exact integer sum."""
+    sample_exprs = []
+    for i in range(4):
+        lo = 4 * i + 1
+        hi = 4 * i + 3
+        raw = f"('0x' || substr(h, {hi}, 2) || substr(h, {lo}, 2))::BIGINT"
+        sample_exprs.append(
+            f"(CASE WHEN {raw} >= 32768 THEN {raw} - 65536 ELSE {raw} END)")
+    s = sample_exprs
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h,
+         (1 + ('0x' || substr(md5(text), 1, 2))::BIGINT % 2)::INT AS ch
+  FROM {table} WHERE doc_id % 3 = 1
+)
+SELECT media_id, ch AS n_channels,
+       (4 / ch)::INT AS n_frames,
+       4 AS n_samples,
+       {s[0]}::INT AS first_sample,
+       round(sqrt(({s[0]}*{s[0]} + {s[1]}*{s[1]} + {s[2]}*{s[2]}
+                   + {s[3]}*{s[3]}) / 4.0), 4) AS rms
+FROM m
+""".strip()
+
+
 def media_metadata_oracle(table: str = "documents") -> str:
     """Header-arithmetic twin: rebuilds the same payload hex, then PARSES
     it the way the decoders do — PNG width/height as big-endian u32 at

@@ -21,7 +21,7 @@ def entrymod():
 
 TRAINING_QUERIES = [
     "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
-    "doc_bpe_tokens", "doc_rolling_fp",
+    "doc_bpe_tokens", "doc_rolling_fp", "media_audio_frames",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "emb_cosine_topk",
     "emb_lsh_ann", "emb_near_dup", "emb_label_centroids",
@@ -74,6 +74,48 @@ class TestAlgorithmic:
         brute_best = {r.query_id: r.cosine for r in brute if r.rank == 1}
         for qid, c in ann_best.items():
             assert c <= brute_best[qid] + 1e-9
+
+    def test_sql_function_registry(self, spark):
+        """The RDF scalar kernels are callable from plain spark.sql after
+        register_rdf_functions (the library's SQL-interop surface)."""
+        from rdf_go_spark.functions.registry import register_rdf_functions
+        register_rdf_functions(spark)
+        row = spark.sql("""
+            SELECT rdf_detect_format('<a:s> <a:p> "v" .') AS fmt,
+                   iri_resolve('http://e/a/b', '../x') AS iri,
+                   iri_is_valid('http://e/ok') AS ok,
+                   iri_is_valid('relative') AS bad,
+                   rdf_statement_count(
+                     '@prefix e: <http://e/> . e:s e:p e:o, e:o2 .') AS n,
+                   rdf_to_ntriples('{"@id":"http://e/s",
+                                     "http://e/p":"x"}') AS nt
+        """).first()
+        assert row.fmt == "ntriples"
+        assert row.iri == "http://e/x"
+        assert row.ok is True and row.bad is False
+        assert row.n == 2
+        assert row.nt == '<http://e/s> <http://e/p> "x" .'
+
+    def test_audio_decode_on_genuine_wav(self, spark):
+        """audio_frame_stats' decoder works on a real stdlib-written WAV,
+        not just the synthetic payloads."""
+        import io
+        import wave
+        from rdf_go_spark.operators.multimodal import _audio_frame_batches
+        import pandas as pd
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(b"\x01\x00\xff\xff\x00\x02\x00\xfe")  # 1,-1,512,-512
+        w.close()
+        out = pd.concat(list(_audio_frame_batches(iter([pd.DataFrame(
+            {"media_id": [7], "payload": [buf.getvalue()]})]))))
+        r = out.iloc[0]
+        assert (r.n_channels, r.n_frames, r.n_samples) == (2, 2, 4)
+        assert r.first_sample == 1
+        assert r.sum_sq == 1 + 1 + 512 * 512 + 512 * 512
 
     def test_rolling_fp_is_order_sensitive(self, spark):
         """Unlike the normalized-md5 fingerprint, the polynomial rolling
