@@ -123,6 +123,7 @@ def _training_data_queries():
         # multimodal plumbing
         "media_metadata": lambda s, d: multimodal.media_metadata(_docs(s, d)),
         "media_audio_frames": lambda s, d: multimodal.audio_frame_stats(_docs(s, d)),
+        "media_video_samples": lambda s, d: multimodal.video_frame_sample(_docs(s, d)),
     }
 
 
@@ -228,6 +229,7 @@ def _build_oracles() -> dict[str, str]:
         "emb_label_centroids": label_centroids_oracle(),
         "media_metadata": multimodal.media_metadata_oracle(),
         "media_audio_frames": multimodal.audio_frame_stats_oracle(),
+        "media_video_samples": multimodal.video_frame_sample_oracle(),
         "pricing_summary": A.q_pricing_summary_oracle(),
         "top_customers": A.q_top_customers_oracle(),
         "events_user_stats": A.q_events_user_stats_oracle(),

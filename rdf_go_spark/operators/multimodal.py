@@ -167,6 +167,31 @@ def _decode_wav(b: bytes) -> Optional[Tuple[int, int]]:
         return None
 
 
+def _find_box(b: bytes, start: int, end: int,
+              typ: bytes) -> Optional[Tuple[int, int]]:
+    """ISO-BMFF box scan: return (payload_start, payload_end) of the
+    first ``typ`` box in [start, end); handles size==1 largesize and
+    size==0 run-to-end boxes."""
+    off = start
+    while off + 8 <= end:
+        size, = struct.unpack(">I", b[off:off + 4])
+        btyp = b[off + 4:off + 8]
+        hdr = 8
+        if size == 1:
+            if off + 16 > end:
+                return None
+            size, = struct.unpack(">Q", b[off + 8:off + 16])
+            hdr = 16
+        elif size == 0:
+            size = end - off
+        if size < hdr or off + size > end:
+            return None
+        if btyp == typ:
+            return off + hdr, off + size
+        off += size
+    return None
+
+
 def _decode_mp4(b: bytes) -> Optional[Tuple[int, int]]:
     """Real ISO-BMFF parse: walk the box tree moov → trak → tkhd and read
     the 16.16 fixed-point width/height (v0 body offset 76, v1 offset 88;
@@ -174,32 +199,11 @@ def _decode_mp4(b: bytes) -> Optional[Tuple[int, int]]:
     genuine MP4 — no media libs needed for header metadata."""
     if len(b) < 16 or b[4:8] != b"ftyp":
         return None
-
-    def find(start: int, end: int, typ: bytes) -> Optional[Tuple[int, int]]:
-        off = start
-        while off + 8 <= end:
-            size, = struct.unpack(">I", b[off:off + 4])
-            btyp = b[off + 4:off + 8]
-            hdr = 8
-            if size == 1:
-                if off + 16 > end:
-                    return None
-                size, = struct.unpack(">Q", b[off + 8:off + 16])
-                hdr = 16
-            elif size == 0:
-                size = end - off
-            if size < hdr or off + size > end:
-                return None
-            if btyp == typ:
-                return off + hdr, off + size
-            off += size
-        return None
-
-    span = find(0, len(b), b"moov")
+    span = _find_box(b, 0, len(b), b"moov")
     if span:
-        span = find(span[0], span[1], b"trak")
+        span = _find_box(b, span[0], span[1], b"trak")
     if span:
-        span = find(span[0], span[1], b"tkhd")
+        span = _find_box(b, span[0], span[1], b"tkhd")
     if not span:
         return None
     body = b[span[0]:span[1]]
@@ -300,6 +304,65 @@ def audio_frame_stats(docs: DataFrame) -> DataFrame:
     return raw.select(
         "media_id", "n_channels", "n_frames", "n_samples", "first_sample",
         F.round(F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4).alias("rms"))
+
+
+_VIDEO_SAMPLE_SCHEMA = StructType([
+    StructField("media_id", LongType(), False),
+    StructField("sample_idx", IntegerType(), False),
+    StructField("byte_offset", IntegerType(), False),
+    StructField("byte_value", IntegerType(), False),
+])
+
+
+def _video_sample_batches(n_samples: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "sample_idx",
+                                    "byte_offset", "byte_value")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload)
+                span = _find_box(b, 0, len(b), b"mdat")
+                if span is None:
+                    continue
+                s, e = span
+                size = e - s
+                for i in range(n_samples):
+                    off = (i * size) // n_samples
+                    rows["media_id"].append(int(mid))
+                    rows["sample_idx"].append(i)
+                    rows["byte_offset"].append(off)
+                    rows["byte_value"].append(b[s + off])
+            yield pd.DataFrame(rows)
+    return fn
+
+
+def video_frame_sample(docs: DataFrame, n_samples: int = 4) -> DataFrame:
+    """Frame-sampling PLUMBING for the video modality: walk the real box
+    tree to the ``mdat`` payload and emit ``n_samples`` evenly spaced
+    byte probes per clip (the shape a real frame sampler has — keyed
+    output rows per media_id, deterministic offsets, Arrow batching;
+    actual frame DECODE would need ffmpeg, absent in this container).
+    Works on any MP4 whose mdat is an in-file box."""
+    media = synth_media(docs).filter(F.col("kind") == "video")
+    return media.select("media_id", "payload").mapInPandas(
+        _video_sample_batches(n_samples), schema=_VIDEO_SAMPLE_SCHEMA)
+
+
+def video_frame_sample_oracle(table: str = "documents",
+                              n_samples: int = 4) -> str:
+    """The synthetic MP4's mdat payload is md5(text) bytes 0..7; sample i
+    probes byte floor(i*8/n) — parsed from the same hex the builder used."""
+    return f"""
+WITH m AS (
+  SELECT doc_id AS media_id, md5(text) AS h
+  FROM {table} WHERE doc_id % 3 = 2
+)
+SELECT media_id, t.i::INT AS sample_idx,
+       ((t.i * 8) // {n_samples})::INT AS byte_offset,
+       ('0x' || substr(h, ((t.i * 8) // {n_samples}) * 2 + 1, 2))::INT
+         AS byte_value
+FROM m, LATERAL UNNEST(generate_series(0, {n_samples - 1})) AS t(i)
+""".strip()
 
 
 def audio_frame_stats_oracle(table: str = "documents") -> str:
