@@ -84,10 +84,19 @@ def _emb(spark, sf_dir):
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+SAMPLE_FRACTIONS = {"src0": 0.2, "src1": 0.8, "src2": 1.0, "src3": 0.0}
+
+
 def _training_data_queries():
-    from rdf_go_spark.operators import dedup, multimodal, similarity, textstats
+    from rdf_go_spark.operators import (
+        dedup, multimodal, sampling, similarity, textstats,
+    )
 
     return {
+        "doc_sample_stratified": lambda s, d: sampling.stratified_sample(
+            _docs(s, d), fractions=SAMPLE_FRACTIONS),
+        "corpus_mix_report": lambda s, d: sampling.corpus_mix_report(
+            _docs(s, d)),
         # text analysis
         "doc_token_stats": lambda s, d: textstats.token_stats(_docs(s, d)),
         "doc_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
@@ -228,6 +237,12 @@ def _build_oracles() -> dict[str, str]:
         "emb_ivf_ann": ivf_ann_oracle(),
         "emb_label_centroids": label_centroids_oracle(),
         "media_metadata": multimodal.media_metadata_oracle(),
+        "doc_sample_stratified": __import__(
+            "rdf_go_spark.operators.sampling", fromlist=["x"])
+            .stratified_sample_oracle(fractions=SAMPLE_FRACTIONS),
+        "corpus_mix_report": __import__(
+            "rdf_go_spark.operators.sampling", fromlist=["x"])
+            .corpus_mix_report_oracle(),
         "media_audio_frames": multimodal.audio_frame_stats_oracle(),
         "media_video_samples": multimodal.video_frame_sample_oracle(),
         "pricing_summary": A.q_pricing_summary_oracle(),

@@ -22,7 +22,7 @@ def entrymod():
 TRAINING_QUERIES = [
     "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
     "doc_bpe_tokens", "doc_rolling_fp", "media_audio_frames",
-    "media_video_samples",
+    "media_video_samples", "doc_sample_stratified", "corpus_mix_report",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "emb_cosine_topk",
     "emb_lsh_ann", "emb_near_dup", "emb_label_centroids",
@@ -75,6 +75,24 @@ class TestAlgorithmic:
         brute_best = {r.query_id: r.cosine for r in brute if r.rank == 1}
         for qid, c in ann_best.items():
             assert c <= brute_best[qid] + 1e-9
+
+    def test_stratified_sample_properties(self, spark):
+        """Deterministic sampling invariants: rerun-stable membership,
+        fraction-0 sources fully excluded, fraction-1 fully kept, and a
+        pure-filter plan (zero exchanges)."""
+        from rdf_go_spark.operators.sampling import stratified_sample
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        fr = {"src0": 0.0, "src1": 1.0}
+        a = {r.doc_id for r in stratified_sample(docs, fr).collect()}
+        b = {r.doc_id for r in stratified_sample(docs, fr).collect()}
+        assert a == b and a
+        kept = stratified_sample(docs, fr).toPandas()
+        assert not (kept.source == "src0").any()
+        n_src1 = docs.filter(F.col("source") == "src1").count()
+        assert (kept.source == "src1").sum() == n_src1
+        plan = stratified_sample(docs, fr)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Exchange" not in plan
 
     def test_sql_function_registry(self, spark):
         """The RDF scalar kernels are callable from plain spark.sql after
