@@ -117,6 +117,9 @@ def _training_data_queries():
         "dedup_clusters": lambda s, d: __import__(
             "rdf_go_spark.operators.components", fromlist=["x"])
             .dedup_clusters(dedup.minhash_lsh_pairs(_docs(s, d))),
+        "dedup_keep_list": lambda s, d: __import__(
+            "rdf_go_spark.operators.components", fromlist=["x"])
+            .dedup_keep_list(_docs(s, d), dedup.minhash_lsh_pairs(_docs(s, d))),
         # similarity search
         "emb_cosine_topk": lambda s, d: similarity.cosine_topk(_emb(s, d)),
         # multi-probe: the query bucket + all N_PLANES one-bit-flip probes
@@ -229,6 +232,9 @@ def _build_oracles() -> dict[str, str]:
         "dedup_clusters": __import__(
             "rdf_go_spark.operators.components", fromlist=["x"])
             .dedup_clusters_oracle(dedup.minhash_lsh_oracle()),
+        "dedup_keep_list": __import__(
+            "rdf_go_spark.operators.components", fromlist=["x"])
+            .dedup_keep_list_oracle(dedup.minhash_lsh_oracle()),
         "dedup_simhash": dedup.simhash_oracle(),
         "dedup_simhash_pairs": dedup.simhash_pairs_oracle(),
         "emb_cosine_topk": cosine_topk_oracle(),

@@ -66,6 +66,35 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
                     (F.col("node") == F.col("component")).alias("keep")))
 
 
+def dedup_keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """The dedup pipeline's end artifact: one keep/drop row for EVERY
+    document — clustered docs keep only their representative, singletons
+    (never in any pair) keep themselves. A left join of the corpus
+    against the (tiny) cluster table; at 100 TB the cluster side stays
+    proportional to the duplicate population, not the corpus."""
+    clusters = dedup_clusters(pairs)
+    return (docs.select("doc_id")
+            .join(clusters, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id"),
+                F.coalesce("cluster_size", F.lit(1).cast("long"))
+                .alias("cluster_size"),
+                F.coalesce("keep", F.lit(True)).alias("keep")))
+
+
+def dedup_keep_list_oracle(pairs_sql: str, table: str = "documents") -> str:
+    inner = dedup_clusters_oracle(pairs_sql)
+    return f"""
+WITH clusters AS ({inner})
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       coalesce(c.cluster_size, 1)::BIGINT AS cluster_size,
+       coalesce(c.keep, TRUE) AS keep
+FROM {table} d LEFT JOIN clusters c USING (doc_id)
+""".strip()
+
+
 def dedup_clusters_oracle(pairs_sql: str) -> str:
     """Recursive-CTE oracle over the SAME pair set."""
     return f"""

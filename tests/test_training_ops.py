@@ -23,6 +23,7 @@ TRAINING_QUERIES = [
     "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
     "doc_bpe_tokens", "doc_rolling_fp", "media_audio_frames",
     "media_video_samples", "doc_sample_stratified", "corpus_mix_report",
+    "dedup_keep_list",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_clusters", "emb_cosine_topk",
     "emb_lsh_ann", "emb_near_dup", "emb_label_centroids",
