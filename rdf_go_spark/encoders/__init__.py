@@ -11,13 +11,17 @@ import json
 from typing import Dict, Iterable, List, Optional
 
 from ..terms import (
-    IRI, BlankNode, Literal, Quad, Term, TripleTerm, render_iri, render_term,
+    IRI, BlankNode, Literal, Quad, Term, TripleTerm, render_iri,
+    render_term, render_term_cg,
 )
 
 
-def render_ntriples_line(q: Quad) -> str:
-    """One N-Triples line incl. trailing ' .' (rdf/ntriples.go:613-626)."""
-    return f"{render_term(q.s)} {render_term(q.p)} {render_term(q.o)} ."
+def render_ntriples_line(q: Quad, star_semantics: str = "rdf12") -> str:
+    """One N-Triples line incl. trailing ' .' (rdf/ntriples.go:613-626).
+    ``star_semantics="cg"`` renders quoted triples as direct
+    ``<< s p o >>`` terms (round-trip partner of the CG parse mode)."""
+    rt = render_term_cg if star_semantics == "cg" else render_term
+    return f"{rt(q.s)} {render_term(q.p)} {rt(q.o)} ."
 
 
 def render_nquads_line(q: Quad) -> str:
@@ -27,8 +31,10 @@ def render_nquads_line(q: Quad) -> str:
     return f"{render_term(q.s)} {render_term(q.p)} {render_term(q.o)} {render_term(q.g)} ."
 
 
-def encode_ntriples(quads: Iterable[Quad]) -> str:
-    return "".join(render_ntriples_line(q) + "\n" for q in quads)
+def encode_ntriples(quads: Iterable[Quad],
+                    star_semantics: str = "rdf12") -> str:
+    return "".join(render_ntriples_line(q, star_semantics) + "\n"
+                   for q in quads)
 
 
 def encode_nquads(quads: Iterable[Quad]) -> str:

@@ -207,6 +207,17 @@ def render_term(t: Term) -> str:
     raise TypeError(f"not a term: {t!r}")
 
 
+def render_term_cg(t: Term) -> str:
+    """Like ``render_term`` but quoted triples use the legacy 2021 CG
+    star syntax ``<< s p o >>`` (valid in subject AND object position
+    under that grammar) instead of the RDF 1.2 triple-term ``<<( )>>``
+    (object-only). Round-trip partner of ``star_semantics="cg"``."""
+    if isinstance(t, TripleTerm):
+        return (f"<< {render_term_cg(t.s)} {render_term(t.p)} "
+                f"{render_term_cg(t.o)} >>")
+    return render_term(t)
+
+
 # ---------------------------------------------------------------------------
 # Unescaping (rdf/parse_utils.go:358-484)
 # ---------------------------------------------------------------------------

@@ -93,3 +93,25 @@ def test_deep_nesting_is_bounded():
     deep_json = '{"@id":"http://e/s","@graph":' * 150 + "{}" + "}" * 150
     stmts, errs = parse_jsonld(deep_json)
     assert errs
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_html_jsonld_extraction(s):
+    """Arbitrary HTML-ish garbage must produce a value or a ParseError —
+    never an unhandled crash."""
+    from rdf_go_spark.parsers.html_jsonld import extract_html_jsonld
+    from rdf_go_spark.terms import ParseError
+    for kwargs in ({}, {"extract_all_scripts": True}, {"fragment": "x"}):
+        try:
+            extract_html_jsonld(s, **kwargs)
+        except ParseError:
+            pass
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None)
+def test_fuzz_cg_star_mode(s):
+    """CG star semantics: same crash-safety contract as the default."""
+    stmts, errs = parse_turtle(s, star_semantics="cg")
+    assert isinstance(stmts, list) and isinstance(errs, list)

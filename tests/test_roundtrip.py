@@ -166,3 +166,25 @@ def test_property_turtle_roundtrip_isomorphic(quads):
     back, errs = parse_turtle(out)
     assert not errs, (errs[0], out)
     assert isomorphic(list(set(quads)), list(set(back)))
+
+
+class TestCgStarRoundTrip:
+    def test_cg_graph_roundtrips_through_ntriples(self):
+        """CG-mode graphs (quoted triples as direct terms, incl. as
+        SUBJECTS) must survive encode → reparse: the encoder's
+        star_semantics='cg' renders << s p o >> instead of the RDF 1.2
+        object-only triple term."""
+        from rdf_go_spark.encoders import encode_ntriples
+        from rdf_go_spark.parsers.ntriples import parse_document
+        from rdf_go_spark.parsers.turtle import parse_turtle
+        src = ("@prefix ex: <http://e/> . "
+               "<<ex:s ex:p ex:o>> ex:q ex:z . "
+               "ex:a ex:b <<ex:s2 ex:p2 <<ex:i ex:j ex:k>> >> . "
+               "ex:s ex:p ex:o {| ex:r ex:note |} .")
+        g1, errs = parse_turtle(src, star_semantics="cg")
+        assert not errs and len(g1) == 4
+        nt = encode_ntriples(g1, star_semantics="cg")
+        assert "<<(" not in nt and "<< <http://e/s>" in nt
+        g2, errs2 = parse_document(nt, allow_star=True)
+        assert not errs2
+        assert set(g1) == set(g2)
