@@ -60,7 +60,8 @@ def _abbreviate(value: str, prefixes: Dict[str, str]) -> Optional[str]:
     return f"{best_prefix}:{value[len(best_ns):]}"
 
 
-def _turtle_term(t: Term, prefixes: Dict[str, str]) -> str:
+def _turtle_term(t: Term, prefixes: Dict[str, str],
+                 star_semantics: str = "rdf12") -> str:
     if isinstance(t, IRI):
         abbr = _abbreviate(t.value, prefixes)
         return abbr if abbr is not None else render_iri(t.value)
@@ -71,13 +72,16 @@ def _turtle_term(t: Term, prefixes: Dict[str, str]) -> str:
         abbr = _abbreviate(t.datatype, prefixes)
         if abbr is not None:
             return f"{c14n_quote(t.lexical)}^^{abbr}"
+    if isinstance(t, TripleTerm) and star_semantics == "cg":
+        return render_term_cg(t)
     return render_term(t)
 
 
 def encode_turtle(quads: Iterable[Quad], prefixes: Optional[Dict[str, str]] = None,
-                  base: str = "") -> str:
+                  base: str = "", star_semantics: str = "rdf12") -> str:
     """Turtle with alphabetically sorted @prefix header; statements stay in
-    input order (rdf/turtle_encoder.go:85-109,222-229; README.md:864-866)."""
+    input order (rdf/turtle_encoder.go:85-109,222-229; README.md:864-866).
+    ``star_semantics="cg"`` renders quoted triples as direct terms."""
     prefixes = prefixes or {}
     lines: List[str] = []
     if base:
@@ -88,13 +92,14 @@ def encode_turtle(quads: Iterable[Quad], prefixes: Optional[Dict[str, str]] = No
         lines.append("")
     for q in quads:
         lines.append(
-            f"{_turtle_term(q.s, prefixes)} {_turtle_term(q.p, prefixes)} "
-            f"{_turtle_term(q.o, prefixes)} .")
+            f"{_turtle_term(q.s, prefixes, star_semantics)} "
+            f"{_turtle_term(q.p, prefixes, star_semantics)} "
+            f"{_turtle_term(q.o, prefixes, star_semantics)} .")
     return "\n".join(lines) + "\n"
 
 
 def encode_trig(quads: Iterable[Quad], prefixes: Optional[Dict[str, str]] = None,
-                base: str = "") -> str:
+                base: str = "", star_semantics: str = "rdf12") -> str:
     """TriG: Turtle header + per-quad graph blocks
     (rdf/turtle_encoder.go:127-175)."""
     prefixes = prefixes or {}
@@ -106,8 +111,9 @@ def encode_trig(quads: Iterable[Quad], prefixes: Optional[Dict[str, str]] = None
     if lines:
         lines.append("")
     for q in quads:
-        stmt = (f"{_turtle_term(q.s, prefixes)} {_turtle_term(q.p, prefixes)} "
-                f"{_turtle_term(q.o, prefixes)} .")
+        stmt = (f"{_turtle_term(q.s, prefixes, star_semantics)} "
+                f"{_turtle_term(q.p, prefixes, star_semantics)} "
+                f"{_turtle_term(q.o, prefixes, star_semantics)} .")
         if q.g is None:
             lines.append(stmt)
         else:

@@ -188,3 +188,19 @@ class TestCgStarRoundTrip:
         g2, errs2 = parse_document(nt, allow_star=True)
         assert not errs2
         assert set(g1) == set(g2)
+
+    def test_cg_graph_roundtrips_through_turtle_and_trig(self):
+        from rdf_go_spark.encoders import encode_trig, encode_turtle
+        from rdf_go_spark.parsers.trig import parse_trig
+        from rdf_go_spark.parsers.turtle import parse_turtle
+        src = ("@prefix ex: <http://e/> . "
+               "<<ex:s ex:p ex:o>> ex:q ex:z . "
+               "ex:a ex:b <<ex:s2 ex:p2 ex:o2>> .")
+        g1, errs = parse_turtle(src, star_semantics="cg")
+        assert not errs
+        ttl = encode_turtle(g1, star_semantics="cg")
+        g2, e2 = parse_turtle(ttl, star_semantics="cg")
+        assert not e2 and set(g1) == set(g2)
+        trig = encode_trig(g1, star_semantics="cg")
+        g3, e3 = parse_trig(trig, star_semantics="cg")
+        assert not e3 and set(g1) == set(g3)
