@@ -191,6 +191,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_two_hop": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_two_hop(s, d)),
+    "kg_bgp_match": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_bgp_match(s, d)),
     "kg_streaming_turn_metrics": (lambda s, d: __import__(
         "rdf_go_spark.streaming.pipeline", fromlist=["x"])
         .kg_streaming_turn_metrics(s, d)),

@@ -239,6 +239,30 @@ GROUP BY 1, 2
 """.strip()
 
 
+_BGP_PATTERNS = [
+    ("?c", "<http://example.org/v/hasTurn>", "?t"),
+    ("?t", "<http://example.org/v/role>", '"tool"'),
+    ("?t", "<http://example.org/v/tool>", "?tool"),
+    ("?t", "<http://example.org/v/mentions>", "?e"),
+]
+
+
+def kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style BGP over the constructed graph: all tool turns with
+    their conversation, tool literal, and mentioned entity — four triple
+    patterns compiled into constant-filtered self-joins
+    (operators/query.py); Catalyst reorders and broadcasts."""
+    from ..operators.query import bgp_match
+
+    return bgp_match(kg_triples(spark, sf_dir), _BGP_PATTERNS)
+
+
+def kg_bgp_match_oracle_sql(n_conv: int) -> str:
+    from ..operators.query import bgp_sql
+
+    return bgp_sql(_BGP_PATTERNS, kg_triples_oracle_sql(n_conv))
+
+
 def kg_triples_oracle_sql(n_conv: int) -> str:
     """Arithmetic oracle for ``kg_triples`` (DuckDB dialect)."""
     return f"""

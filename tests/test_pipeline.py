@@ -110,3 +110,38 @@ class TestScaleShape:
         from rdf_go_spark.sources.transcripts import synth_transcripts
         df = synth_transcripts(spark, 1000, partitions=16)
         assert df.rdd.getNumPartitions() >= 16
+
+
+class TestBgpMatch:
+    def test_bgp_compiler_semantics(self, spark):
+        """Variable binding, constant filters, shared-variable joins,
+        within-pattern variable equality, and cross rejection."""
+        from rdf_go_spark.operators.query import bgp_match
+        rows = [
+            ("<a>", "<knows>", "<b>"), ("<b>", "<knows>", "<c>"),
+            ("<a>", "<likes>", "<a>"), ("<c>", "<knows>", "<a>"),
+        ]
+        t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        # 2-hop friend chain
+        chains = {(r.x, r.y, r.z) for r in bgp_match(
+            t, [("?x", "<knows>", "?y"), ("?y", "<knows>", "?z")]).collect()}
+        assert chains == {("<a>", "<b>", "<c>"), ("<b>", "<c>", "<a>"),
+                          ("<c>", "<a>", "<b>")}
+        # self-loop via repeated variable
+        loops = bgp_match(t, [("?x", "<likes>", "?x")]).collect()
+        assert [r.x for r in loops] == ["<a>"]
+        # disconnected patterns rejected unless opted in
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            bgp_match(t, [("?x", "<knows>", "?y"), ("?a", "<likes>", "?b")])
+        crossed = bgp_match(
+            t, [("?x", "<likes>", "?x"), ("?a", "<knows>", "?b")],
+            allow_cross=True)
+        assert crossed.count() == 3
+
+    def test_bgp_plan_pushes_constant_filters(self, spark):
+        from rdf_go_spark.plans.pipeline import kg_bgp_match
+        plan = kg_bgp_match(spark, SMOKE)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
