@@ -221,7 +221,10 @@ def kg_two_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumers that want the paths themselves."""
     from ..operators.graph import materialize_adjacency, two_hop_census
 
-    t = kg_triples(spark, sf_dir)
+    # adjacency tables carry only the traversal columns — column pruning
+    # at write time, not just read time (the census touches nothing else)
+    t = kg_triples(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_literal")
     by_subj, by_obj = materialize_adjacency(t, "kg_graph", n_buckets=8)
     return two_hop_census(spark, by_subj, by_obj)
 
