@@ -31,56 +31,77 @@ def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
+def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str]) -> Tuple[DataFrame, List[str]]:
+    if len(pat) != 3:
+        raise ValueError(f"pattern {pat!r} is not a triple")
+    df = base
+    rename: Dict[str, str] = {}
+    for pos, term in zip(_POSITIONS, pat):
+        if _is_var(term):
+            var = term[1:]
+            if var in rename.values():
+                # ?x p ?x — equality within the pattern
+                prev = next(p for p, v in rename.items() if v == var)
+                df = df.filter(F.col(pos) == F.col(prev))
+            else:
+                rename[pos] = var
+        else:
+            df = df.filter(F.col(pos) == term)
+    return (df.select(*[F.col(p).alias(v) for p, v in rename.items()]),
+            list(rename.values()))
+
+
 def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
+              optionals: Sequence[Tuple[str, str, str]] = (),
               allow_cross: bool = False) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
     distinct variable, one row per binding (bag semantics — add
-    .distinct() for set semantics; the driver query aggregates anyway)."""
+    .distinct() for set semantics; the driver query aggregates anyway).
+
+    ``optionals``: SPARQL-OPTIONAL-style patterns, each LEFT-joined on
+    its shared variables after the required block — unmatched rows keep
+    null for the optional variables."""
     if not patterns:
         raise ValueError("empty BGP")
     base = triples.select(*_POSITIONS)
     result: DataFrame = None
     bound: List[str] = []
     for idx, pat in enumerate(patterns):
-        if len(pat) != 3:
-            raise ValueError(f"pattern {pat!r} is not a triple")
-        df = base
-        rename: Dict[str, str] = {}
-        for pos, term in zip(_POSITIONS, pat):
-            if _is_var(term):
-                var = term[1:]
-                if var in rename.values():
-                    # ?x p ?x — equality within the pattern
-                    prev = next(p for p, v in rename.items() if v == var)
-                    df = df.filter(F.col(pos) == F.col(prev))
-                else:
-                    rename[pos] = var
-            else:
-                df = df.filter(F.col(pos) == term)
-        df = df.select(*[F.col(p).alias(v) for p, v in rename.items()])
+        df, varset = _compile_pattern(base, pat)
         if result is None:
-            result = df
-            bound = list(rename.values())
+            result, bound = df, varset
             continue
-        on = [v for v in rename.values() if v in bound]
+        on = [v for v in varset if v in bound]
         if not on and not allow_cross:
             raise ValueError(
                 f"pattern {idx} shares no variable with previous patterns "
                 f"(cartesian); pass allow_cross=True if intended")
         result = result.join(df, on=on) if on else result.crossJoin(df)
-        bound += [v for v in rename.values() if v not in bound]
+        bound += [v for v in varset if v not in bound]
+    for idx, pat in enumerate(optionals):
+        df, varset = _compile_pattern(base, pat)
+        on = [v for v in varset if v in bound]
+        if not on:
+            raise ValueError(
+                f"optional pattern {idx} shares no variable with the "
+                f"required block")
+        result = result.join(df, on=on, how="left")
+        bound += [v for v in varset if v not in bound]
     return result
 
 
 def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
-            base_cte: str, base_name: str = "base") -> str:
+            base_cte: str, base_name: str = "base",
+            optionals: Sequence[Tuple[str, str, str]] = ()) -> str:
     """DuckDB twin: the same BGP as self-joins over a triples CTE —
-    used as the oracle for driver BGP queries."""
+    used as the oracle for driver BGP queries. Optional patterns become
+    LEFT JOINs with their constant conditions in the ON clause."""
     selects: List[str] = []
     joins: List[str] = []
     where: List[str] = []
     seen: Dict[str, str] = {}
-    for i, pat in enumerate(patterns):
+
+    def compile_one(i: int, pat, optional: bool):
         alias = f"t{i}"
         conds = []
         for pos, term in zip(_POSITIONS, pat):
@@ -98,10 +119,16 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
             joins.append(f"{base_name} {alias}")
             where.extend(conds)
         elif conds:
-            joins.append(f"JOIN {base_name} {alias} ON "
+            kw = "LEFT JOIN" if optional else "JOIN"
+            joins.append(f"{kw} {base_name} {alias} ON "
                          + " AND ".join(conds))
         else:
             joins.append(f"CROSS JOIN {base_name} {alias}")
+
+    for i, pat in enumerate(patterns):
+        compile_one(i, pat, optional=False)
+    for j, pat in enumerate(optionals):
+        compile_one(len(patterns) + j, pat, optional=True)
     sql = f"WITH {base_name} AS ({base_cte})\n" \
           f"SELECT {', '.join(selects)}\nFROM " + "\n".join(joins)
     if where:

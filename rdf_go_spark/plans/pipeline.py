@@ -244,26 +244,33 @@ GROUP BY 1, 2
 
 _BGP_PATTERNS = [
     ("?c", "<http://example.org/v/hasTurn>", "?t"),
-    ("?t", "<http://example.org/v/role>", '"tool"'),
-    ("?t", "<http://example.org/v/tool>", "?tool"),
+    ("?t", "<http://example.org/v/role>", '"user"'),
     ("?t", "<http://example.org/v/mentions>", "?e"),
+]
+_BGP_OPTIONALS = [
+    # conversation-opening user turns have no predecessor → null binding
+    # (real SPARQL-OPTIONAL semantics exercised in the driver data)
+    ("?t", "<http://example.org/v/prevTurn>", "?prev"),
 ]
 
 
 def kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SPARQL-style BGP over the constructed graph: all tool turns with
-    their conversation, tool literal, and mentioned entity — four triple
-    patterns compiled into constant-filtered self-joins
-    (operators/query.py); Catalyst reorders and broadcasts."""
+    their conversation, tool literal, mentioned entity, and OPTIONAL
+    previous turn — patterns compiled into constant-filtered self-joins
+    plus a left join (operators/query.py); Catalyst reorders and
+    broadcasts."""
     from ..operators.query import bgp_match
 
-    return bgp_match(kg_triples(spark, sf_dir), _BGP_PATTERNS)
+    return bgp_match(kg_triples(spark, sf_dir), _BGP_PATTERNS,
+                     optionals=_BGP_OPTIONALS)
 
 
 def kg_bgp_match_oracle_sql(n_conv: int) -> str:
     from ..operators.query import bgp_sql
 
-    return bgp_sql(_BGP_PATTERNS, kg_triples_oracle_sql(n_conv))
+    return bgp_sql(_BGP_PATTERNS, kg_triples_oracle_sql(n_conv),
+                   optionals=_BGP_OPTIONALS)
 
 
 def kg_triples_oracle_sql(n_conv: int) -> str:

@@ -145,3 +145,17 @@ class TestBgpMatch:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_bgp_optional_left_join_semantics(self, spark):
+        from rdf_go_spark.operators.query import bgp_match
+        rows = [("<a>", "<knows>", "<b>"), ("<b>", "<knows>", "<c>"),
+                ("<b>", "<age>", '"30"')]
+        t = spark.createDataFrame(rows, "subj string, pred string, obj string")
+        out = {r.y: r.age for r in bgp_match(
+            t, [("?x", "<knows>", "?y")],
+            optionals=[("?y", "<age>", "?age")]).collect()}
+        assert out == {"<b>": '"30"', "<c>": None}
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            bgp_match(t, [("?x", "<knows>", "?y")],
+                      optionals=[("?p", "<age>", "?q")])
