@@ -194,6 +194,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_match": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_bgp_match(s, d)),
+    "kg_turn_reachability": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_turn_reachability(s, d)),
     "kg_streaming_turn_metrics": (lambda s, d: __import__(
         "rdf_go_spark.streaming.pipeline", fromlist=["x"])
         .kg_streaming_turn_metrics(s, d)),

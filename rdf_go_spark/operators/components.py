@@ -66,6 +66,53 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
                     (F.col("node") == F.col("component")).alias("keep")))
 
 
+def transitive_closure(edges: DataFrame, src: str = "src",
+                       dst: str = "dst", max_iter: int = 32) -> DataFrame:
+    """Directed transitive closure with shortest hop distance — the
+    relational property-path ``pred+`` operator: (src, dst, dist) for
+    every reachable pair. Semi-naive iteration: each round extends the
+    frontier by one edge join, merges with min-distance semantics, and
+    localCheckpoints (lineage truncation); converges in O(longest
+    shortest-path) rounds, each one shuffle join + aggregate. Cycles are
+    safe — a revisited pair never improves its min distance, so the
+    fixpoint count check terminates."""
+    e = (edges.select(F.col(src).alias("m"), F.col(dst).alias("d"))
+         .distinct().localCheckpoint())
+    paths = e.select(F.col("m").alias("src"), F.col("d").alias("dst"),
+                     F.lit(1).alias("dist")).localCheckpoint()
+    frontier = paths
+    for _ in range(max_iter):
+        ext = (frontier.alias("f").join(e, F.col("f.dst") == F.col("m"))
+               .select(F.col("f.src").alias("src"),
+                       F.col("d").alias("dst"),
+                       (F.col("f.dist") + 1).alias("dist")))
+        merged = (paths.unionByName(ext)
+                  .groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+                  .localCheckpoint())
+        if merged.count() == paths.count():
+            break
+        # next frontier: only pairs whose distance was newly established
+        frontier = (merged.alias("m2").join(
+            paths.alias("p"), ["src", "dst"], "left_anti"))
+        frontier = frontier.localCheckpoint()
+        paths = merged
+    return paths
+
+
+def transitive_closure_oracle(edges_sql: str) -> str:
+    """Recursive-CTE twin with min-distance group at the end."""
+    return f"""
+WITH RECURSIVE e AS ({edges_sql}),
+reach(src, dst, dist) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT r.src, e.dst, r.dist + 1
+  FROM reach r JOIN e ON e.src = r.dst
+)
+SELECT src, dst, min(dist)::INT AS dist FROM reach GROUP BY 1, 2
+""".strip()
+
+
 def dedup_keep_list(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """The dedup pipeline's end artifact: one keep/drop row for EVERY
     document — clustered docs keep only their representative, singletons

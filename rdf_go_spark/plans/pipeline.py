@@ -273,6 +273,30 @@ def kg_bgp_match_oracle_sql(n_conv: int) -> str:
                    optionals=_BGP_OPTIONALS)
 
 
+def kg_turn_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Property-path query pred+ over the graph: transitive closure of
+    prevTurn with shortest hop distance — each turn reaches every earlier
+    turn of its conversation (operators/components.transitive_closure:
+    semi-naive iterative joins, recursive-CTE oracle)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.components import transitive_closure
+
+    t = kg_triples(spark, sf_dir)
+    edges = (t.filter(F.col("pred") == "<http://example.org/v/prevTurn>")
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst")))
+    return transitive_closure(edges)
+
+
+def kg_turn_reachability_oracle_sql(n_conv: int) -> str:
+    from ..operators.components import transitive_closure_oracle
+
+    edges_sql = (f"SELECT subj AS src, obj AS dst FROM "
+                 f"({kg_triples_oracle_sql(n_conv)}) "
+                 f"WHERE pred = '<http://example.org/v/prevTurn>'")
+    return transitive_closure_oracle(edges_sql)
+
+
 def kg_triples_oracle_sql(n_conv: int) -> str:
     """Arithmetic oracle for ``kg_triples`` (DuckDB dialect)."""
     return f"""

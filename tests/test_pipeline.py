@@ -159,3 +159,21 @@ class TestBgpMatch:
         with _pytest.raises(ValueError):
             bgp_match(t, [("?x", "<knows>", "?y")],
                       optionals=[("?p", "<age>", "?q")])
+
+
+class TestTransitiveClosure:
+    def test_closure_with_cycle_and_branches(self, spark):
+        """Directed closure with min hop distance on a graph containing a
+        cycle (1→2→3→1), a branch (2→4), and a chain (5→6→7)."""
+        from rdf_go_spark.operators.components import transitive_closure
+        edges = [(1, 2), (2, 3), (3, 1), (2, 4), (5, 6), (6, 7)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {(r.src, r.dst): r.dist
+               for r in transitive_closure(df).collect()}
+        expected = {
+            (1, 2): 1, (1, 3): 2, (1, 1): 3, (1, 4): 2,
+            (2, 3): 1, (2, 1): 2, (2, 2): 3, (2, 4): 1,
+            (3, 1): 1, (3, 2): 2, (3, 3): 3, (3, 4): 3,
+            (5, 6): 1, (5, 7): 2, (6, 7): 1,
+        }
+        assert got == expected
