@@ -70,32 +70,36 @@ def transitive_closure(edges: DataFrame, src: str = "src",
                        dst: str = "dst", max_iter: int = 32) -> DataFrame:
     """Directed transitive closure with shortest hop distance — the
     relational property-path ``pred+`` operator: (src, dst, dist) for
-    every reachable pair. Semi-naive iteration: each round extends the
-    frontier by one edge join, merges with min-distance semantics, and
-    localCheckpoints (lineage truncation); converges in O(longest
-    shortest-path) rounds, each one shuffle join + aggregate. Cycles are
-    safe — a revisited pair never improves its min distance, so the
-    fixpoint count check terminates."""
+    every reachable pair. Path-doubling iteration (paths ∘ paths, min
+    merge, localCheckpoint lineage truncation): O(log diameter) rounds
+    — and driver round-trips — instead of O(diameter); per-round cost is
+    a closure self-join, which beats edge-at-a-time for long thin graphs
+    and is bounded by the final closure size either way. Cycles are
+    safe: a pair's shortest-hop distance is present from the round the
+    pair first appears (both halves of the shortest path exist
+    inductively), so the count fixpoint is also the distance fixpoint."""
     e = (edges.select(F.col(src).alias("m"), F.col(dst).alias("d"))
          .distinct().localCheckpoint())
     paths = e.select(F.col("m").alias("src"), F.col("d").alias("dst"),
                      F.lit(1).alias("dist")).localCheckpoint()
-    frontier = paths
+    n = paths.count()
+    # path doubling: composing paths with paths covers depth 2^k after k
+    # rounds — O(log diameter) iterations (and driver round-trips)
+    # instead of O(diameter)
     for _ in range(max_iter):
-        ext = (frontier.alias("f").join(e, F.col("f.dst") == F.col("m"))
-               .select(F.col("f.src").alias("src"),
-                       F.col("d").alias("dst"),
-                       (F.col("f.dist") + 1).alias("dist")))
-        merged = (paths.unionByName(ext)
+        comp = (paths.alias("a").join(
+                    paths.alias("b"),
+                    F.col("a.dst") == F.col("b.src"))
+                .select(F.col("a.src").alias("src"),
+                        F.col("b.dst").alias("dst"),
+                        (F.col("a.dist") + F.col("b.dist")).alias("dist")))
+        merged = (paths.unionByName(comp)
                   .groupBy("src", "dst").agg(F.min("dist").alias("dist"))
                   .localCheckpoint())
-        if merged.count() == paths.count():
+        m = merged.count()
+        if m == n:
             break
-        # next frontier: only pairs whose distance was newly established
-        frontier = (merged.alias("m2").join(
-            paths.alias("p"), ["src", "dst"], "left_anti"))
-        frontier = frontier.localCheckpoint()
-        paths = merged
+        paths, n = merged, m
     return paths
 
 
