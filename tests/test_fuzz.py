@@ -115,3 +115,27 @@ def test_fuzz_cg_star_mode(s):
     """CG star semantics: same crash-safety contract as the default."""
     stmts, errs = parse_turtle(s, star_semantics="cg")
     assert isinstance(stmts, list) and isinstance(errs, list)
+
+
+@given(st.binary(max_size=256))
+@settings(max_examples=200, deadline=None)
+def test_fuzz_media_decoders(b):
+    """Random bytes into the media header decoders: a tuple or None,
+    never a crash (the box walker must respect every bounds check)."""
+    from rdf_go_spark.operators.multimodal import (
+        _decode_mp4, _decode_png, _decode_wav, _find_box,
+    )
+    for fn in (_decode_mp4, _decode_png, _decode_wav):
+        out = fn(b)
+        assert out is None or (isinstance(out, tuple) and len(out) == 2)
+    _find_box(b, 0, len(b), b"mdat")
+
+
+@given(st.binary(max_size=128))
+@settings(max_examples=100, deadline=None)
+def test_fuzz_mp4_with_valid_prefix(tail):
+    """A valid ftyp header followed by garbage boxes must stay safe."""
+    from rdf_go_spark.operators.multimodal import _decode_mp4
+    b = bytes.fromhex("0000001066747970") + b"isom\x00\x00\x02\x00" + tail
+    out = _decode_mp4(b)
+    assert out is None or isinstance(out, tuple)
