@@ -114,7 +114,7 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
                     seen[var] = col
                     selects.append(f"{col} AS {var}")
             else:
-                conds.append(f"{col} = '{term}'")
+                conds.append(f"{col} = '" + term.replace("'", "''") + "'")
         if i == 0:
             joins.append(f"{base_name} {alias}")
             where.extend(conds)
