@@ -112,8 +112,12 @@ def _training_data_queries():
         "dedup_minhash_lsh": lambda s, d: dedup.minhash_lsh_pairs(_docs(s, d)),
         "dedup_minhash_k128": lambda s, d: dedup.minhash_lsh_pairs(
             _docs(s, d), k=dedup.MINHASH_K_PROD, bands=dedup.LSH_BANDS_PROD),
-        "dedup_simhash": lambda s, d: dedup.simhash(_docs(s, d)),
-        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(_docs(s, d)),
+        # md5-jvm: bit-identical to the pandas path (equivalence-tested)
+        # with ZERO Python stages — the production plan, same oracle
+        "dedup_simhash": lambda s, d: dedup.simhash(
+            _docs(s, d), hash_family="md5-jvm"),
+        "dedup_simhash_pairs": lambda s, d: dedup.simhash_pairs(
+            _docs(s, d), hash_family="md5-jvm"),
         "dedup_clusters": lambda s, d: __import__(
             "rdf_go_spark.operators.components", fromlist=["x"])
             .dedup_clusters(dedup.minhash_lsh_pairs(_docs(s, d))),

@@ -54,6 +54,31 @@ def main() -> None:
     timings: dict[str, float] = {}
     counts: dict[str, int] = {}
     for name in names:
+        if name == "kg_two_hop":
+            # build (one-time adjacency-table materialization) and query
+            # (the census itself) are separate production phases — timing
+            # them together reads as query regression (round-3 finding)
+            from rdf_go_spark.operators.graph import (
+                materialize_adjacency, two_hop_census,
+            )
+            from rdf_go_spark.plans.pipeline import kg_triples
+            best_b, best_c = None, None
+            for _ in range(2):
+                t = kg_triples(spark, sf_dir).select(
+                    "subj", "pred", "obj", "obj_is_literal")
+                t0 = time.perf_counter()
+                by_subj, by_obj = materialize_adjacency(
+                    t, "kg_graph", n_buckets=8)
+                dtb = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                n = two_hop_census(spark, by_subj, by_obj).count()
+                dtc = time.perf_counter() - t0
+                best_b = dtb if best_b is None or dtb < best_b else best_b
+                best_c = dtc if best_c is None or dtc < best_c else best_c
+            timings["kg_two_hop_build"] = round(best_b, 3)
+            timings["kg_two_hop"] = round(best_c, 3)
+            counts["kg_two_hop"] = n
+            continue
         fn = qdict[name]
         best = None
         for _ in range(2):

@@ -19,11 +19,36 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# One representative iteration's physical plan per iterative operator,
+# captured on round 0 of the most recent run. localCheckpoint truncates
+# lineage, so the FINAL DataFrame's plan is a bare scan — without this
+# hook the plan audit (scripts/plan_audit.py) could not see the join
+# shape actually executed every round.
+LAST_ITERATION_PLANS: dict[str, str] = {}
+
+
+def _capture_iteration_plan(name: str, iteration: int, df: DataFrame) -> None:
+    if iteration != 0:
+        return
+    try:
+        LAST_ITERATION_PLANS[name] = (
+            df._jdf.queryExecution().executedPlan().toString())
+    except Exception:  # audit hook must never break the operator
+        pass
+
 
 def connected_components(edges: DataFrame, src: str = "src",
                          dst: str = "dst", max_iter: int = 25) -> DataFrame:
     """(node, component) for the undirected graph given by edge pairs;
-    component = min node id in the component."""
+    component = min node id in the component.
+
+    The convergence check is FUSED into the update pass: the update join
+    already sees old and new label side by side, so a changed flag rides
+    through an ``observe()`` aggregate and the eager localCheckpoint that
+    materializes the round doubles as the action that collects it — one
+    job per round, not update + compare (the round-3 finding)."""
+    from pyspark.sql import Observation
+
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
@@ -33,23 +58,24 @@ def connected_components(edges: DataFrame, src: str = "src",
               .withColumn("component", F.col("node")))
     labels = labels.localCheckpoint()
 
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (sym.join(labels, sym["b"] == labels["node"])
                         .groupBy(F.col("a").alias("node"))
                         .agg(F.min("component").alias("nmin")))
+        new_comp = F.least(F.col("component"),
+                           F.coalesce(F.col("nmin"), F.col("component")))
         updated = (labels.join(neighbor_min, "node", "left")
-                   .select("node",
-                           F.least(F.col("component"),
-                                   F.coalesce(F.col("nmin"),
-                                              F.col("component")))
-                           .alias("component")))
+                   .select("node", new_comp.alias("component"),
+                           # labels only ever decrease, so < is "changed"
+                           (new_comp < F.col("component"))
+                           .cast("long").alias("_changed")))
+        obs = Observation()
+        updated = (updated.observe(obs, F.sum("_changed").alias("changed"))
+                   .drop("_changed"))
+        _capture_iteration_plan("connected_components", i, updated)
         updated = updated.localCheckpoint()
-        changed = (updated.alias("u")
-                   .join(labels.alias("l"), "node")
-                   .filter(F.col("u.component") != F.col("l.component"))
-                   .count())
         labels = updated
-        if changed == 0:
+        if not obs.get["changed"]:
             break
     return labels
 
@@ -78,6 +104,8 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     safe: a pair's shortest-hop distance is present from the round the
     pair first appears (both halves of the shortest path exist
     inductively), so the count fixpoint is also the distance fixpoint."""
+    from pyspark.sql import Observation
+
     e = (edges.select(F.col(src).alias("m"), F.col(dst).alias("d"))
          .distinct().localCheckpoint())
     paths = e.select(F.col("m").alias("src"), F.col("d").alias("dst"),
@@ -85,8 +113,10 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     n = paths.count()
     # path doubling: composing paths with paths covers depth 2^k after k
     # rounds — O(log diameter) iterations (and driver round-trips)
-    # instead of O(diameter)
-    for _ in range(max_iter):
+    # instead of O(diameter). The pair count used for the fixpoint test
+    # rides along with the merge via observe(), so the localCheckpoint
+    # materializing the round is the only job per round.
+    for i in range(max_iter):
         comp = (paths.alias("a").join(
                     paths.alias("b"),
                     F.col("a.dst") == F.col("b.src"))
@@ -94,9 +124,12 @@ def transitive_closure(edges: DataFrame, src: str = "src",
                         F.col("b.dst").alias("dst"),
                         (F.col("a.dist") + F.col("b.dist")).alias("dist")))
         merged = (paths.unionByName(comp)
-                  .groupBy("src", "dst").agg(F.min("dist").alias("dist"))
-                  .localCheckpoint())
-        m = merged.count()
+                  .groupBy("src", "dst").agg(F.min("dist").alias("dist")))
+        obs = Observation()
+        merged = merged.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
+        _capture_iteration_plan("transitive_closure", i, merged)
+        merged = merged.localCheckpoint()
+        m = obs.get["n_pairs"]
         if m == n:
             break
         paths, n = merged, m
@@ -104,7 +137,13 @@ def transitive_closure(edges: DataFrame, src: str = "src",
 
 
 def transitive_closure_oracle(edges_sql: str) -> str:
-    """Recursive-CTE twin with min-distance group at the end."""
+    """Recursive-CTE twin with min-distance group at the end.
+
+    The recursive arm is bounded by ``dist < count(edges)``: shortest
+    paths are simple, so every true min distance is ≤ |E| and the bound
+    never cuts a result row — but it guarantees termination on CYCLIC
+    edge sets, where the unbounded UNION (which dedupes on
+    (src,dst,dist)) would loop forever producing ever-larger dists."""
     return f"""
 WITH RECURSIVE e AS ({edges_sql}),
 reach(src, dst, dist) AS (
@@ -112,6 +151,7 @@ reach(src, dst, dist) AS (
   UNION
   SELECT r.src, e.dst, r.dist + 1
   FROM reach r JOIN e ON e.src = r.dst
+  WHERE r.dist < (SELECT count(*) FROM e)
 )
 SELECT src, dst, min(dist)::INT AS dist FROM reach GROUP BY 1, 2
 """.strip()

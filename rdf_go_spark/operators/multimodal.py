@@ -91,7 +91,10 @@ def _behex32(col: Column) -> Column:
 def synth_media(docs: DataFrame) -> DataFrame:
     """Deterministic payloads derived from document text via md5 bytes:
     images become minimal valid PNGs (real IHDR dims), audio becomes
-    minimal valid WAV files (real fmt chunk), video stays opaque bytes."""
+    minimal valid WAV files (real fmt chunk), video becomes minimal valid
+    ISO-BMFF MP4s (real ftyp/moov/trak/tkhd boxes with 16.16 fixed-point
+    dims plus an mdat payload) — all three parsed back by the real
+    byte-level decoders below."""
     kind = F.element_at(
         F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
         (F.col("doc_id") % 3 + 1).cast("int"))

@@ -124,8 +124,12 @@ def _sig_batches(dim: int):
             # quantize to integers before signing: |x|*1e6 <= ~1e6 and
             # |plane| <= 128, so the dot is exact in f64 regardless of
             # summation order — the sign can never disagree with the
-            # oracle's sequential list_dot_product on a borderline value
-            qmat = np.rint(mat * 1e6)
+            # oracle's sequential list_dot_product on a borderline value.
+            # Rounding is half-AWAY-FROM-ZERO (floor(|x|+0.5) with the
+            # sign restored) to match DuckDB's round(); np.rint would
+            # round half-to-even and could disagree on a component
+            # landing exactly on .5 micro-units
+            qmat = np.copysign(np.floor(np.abs(mat * 1e6) + 0.5), mat)
             signs = (qmat @ planes.T) > 0
             buckets = (signs * (1 << np.arange(N_PLANES))).sum(axis=1)
             yield pd.DataFrame({"vec_id": pdf["vec_id"].astype("int64"),

@@ -64,8 +64,12 @@ FROM {table}
 # and RE2 (DuckDB) evaluate identically: contraction suffixes, space-
 # prefixed letter/digit runs, space-prefixed punctuation runs, whitespace.
 # (The original's \p{L}/\p{N} classes and the (?!\S) lookahead are
-# avoided — RE2 has no lookahead and unicode classes differ at the edges.)
-_BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# avoided — RE2 has no lookahead and unicode classes differ at the edges.
+# \s is spelled as an explicit class because the engines disagree on it:
+# Java's \s includes vertical tab \x0B, RE2's does not.)
+_BPE_WS = r" \t\n\x0B\f\r"
+_BPE_RE = (r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+"
+           r"| ?[^a-zA-Z0-9" + _BPE_WS + r"]+|[" + _BPE_WS + r"]+")
 
 
 def bpe_token_stats(docs: DataFrame) -> DataFrame:
@@ -178,6 +182,12 @@ def rolling_fingerprint(docs: DataFrame) -> DataFrame:
 
 
 def rolling_fingerprint_oracle(table: str = "documents") -> str:
+    # The fold is seeded with a prepended 0 so DuckDB's list_reduce
+    # (which otherwise keeps the FIRST element unreduced) applies the
+    # % M step to every element exactly like Spark's F.aggregate from
+    # acc=0 — without the seed, a first token hashing to exactly M31
+    # would stay M31 in DuckDB but fold to 0 in Spark. The [0]-seed
+    # also makes the empty-token case yield 0 with no CASE needed.
     return f"""
 WITH t AS (
   SELECT doc_id,
@@ -188,9 +198,8 @@ WITH t AS (
   FROM {table}
 )
 SELECT doc_id,
-       CASE WHEN len(hs) = 0 THEN 0
-            ELSE list_reduce(hs, (a, x) -> (a * {ROLL_B} + x) % {ROLL_M})
-       END::BIGINT AS roll_fp
+       list_reduce([0::BIGINT] || hs,
+                   (a, x) -> (a * {ROLL_B} + x) % {ROLL_M})::BIGINT AS roll_fp
 FROM t
 """.strip()
 

@@ -259,10 +259,21 @@ def kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     their conversation, tool literal, mentioned entity, and OPTIONAL
     previous turn — patterns compiled into constant-filtered self-joins
     plus a left join (operators/query.py); Catalyst reorders and
-    broadcasts."""
+    broadcasts.
+
+    The graph is MATERIALIZED first (one extraction pass — including the
+    single mapInPandas payload parse — into a bucketed table), then every
+    pattern scans the table: constant pred filters push into the parquet
+    scan, and at 100 TB a k-pattern BGP reads columnar data k times
+    instead of re-parsing the corpus k times. Bucketing on subj keeps the
+    subject-keyed pattern joins (?t as subject in 3 of the 4 patterns
+    here) exchange-free on that side."""
+    from ..operators.graph import materialize_bucketed
     from ..operators.query import bgp_match
 
-    return bgp_match(kg_triples(spark, sf_dir), _BGP_PATTERNS,
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    materialize_bucketed(t, "kg_bgp_graph", n_buckets=8)
+    return bgp_match(spark.table("kg_bgp_graph"), _BGP_PATTERNS,
                      optionals=_BGP_OPTIONALS)
 
 

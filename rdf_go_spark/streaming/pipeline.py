@@ -181,10 +181,17 @@ def conversation_state_assembly(transcripts: DataFrame,
                 timeoutConf=timeout_conf))
 
 
+# Last executed micro-batch physical plan per driver streaming query —
+# the memory-sink drain hides the executed plan from a static audit, so
+# the drain harness records it here for scripts/plan_audit.py.
+LAST_MICROBATCH_PLANS: dict[str, str] = {}
+
+
 def run_availablenow(stream_df: DataFrame, checkpoint: str,
-                     query_name: str) -> None:
+                     query_name: str):
     """Drain everything currently available into a memory sink and stop —
-    the batch-parity harness used by tests."""
+    the batch-parity harness used by tests. Returns the (terminated)
+    StreamingQuery so callers can inspect progress/plan."""
     q = (stream_df.writeStream
          .format("memory")
          .queryName(query_name)
@@ -193,10 +200,11 @@ def run_availablenow(stream_df: DataFrame, checkpoint: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    return q
 
 
 def run_availablenow_complete(stream_df: DataFrame, checkpoint: str,
-                              query_name: str) -> None:
+                              query_name: str):
     q = (stream_df.writeStream
          .format("memory")
          .queryName(query_name)
@@ -205,6 +213,7 @@ def run_availablenow_complete(stream_df: DataFrame, checkpoint: str,
          .trigger(availableNow=True)
          .start())
     q.awaitTermination()
+    return q
 
 
 def kg_streaming_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -231,12 +240,14 @@ def kg_streaming_turn_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return _drain_stream_query(
         spark, synth_transcripts(spark, n), build,
-        "window_start string, role string, n_turns long", complete=True)
+        "window_start string, role string, n_turns long", complete=True,
+        plan_label="kg_streaming_turn_metrics")
 
 
 def _drain_stream_query(spark: SparkSession, batch_input: DataFrame,
                         build, result_schema: str,
-                        complete: bool = False) -> DataFrame:
+                        complete: bool = False,
+                        plan_label: str | None = None) -> DataFrame:
     """Shared drain harness for driver-facing streaming queries: write the
     deterministic input to a temp parquet dir, re-read it as a file
     stream, run ``build(stream)``, drain with availableNow into a memory
@@ -254,7 +265,13 @@ def _drain_stream_query(spark: SparkSession, batch_input: DataFrame,
         batch_input.write.mode("overwrite").parquet(data_dir)
         out = build(stream_transcripts(spark, data_dir))
         runner = run_availablenow_complete if complete else run_availablenow
-        runner(out, f"{base}/ckpt", name)
+        q = runner(out, f"{base}/ckpt", name)
+        if plan_label:
+            try:  # record the last micro-batch plan for the plan audit
+                LAST_MICROBATCH_PLANS[plan_label] = \
+                    q._jsq.explainInternal(False)  # physical plan only
+            except Exception:
+                pass
         rows = spark.table(name).collect()
     finally:
         spark.catalog.dropTempView(name)
@@ -273,7 +290,8 @@ def kg_streaming_prev_turn(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = n_conv_for_sf_dir(sf_dir)
     return _drain_stream_query(
         spark, synth_transcripts(spark, n), streaming_prev_turn,
-        "conv_id string, turn_idx int, subj string, pred string, obj string")
+        "conv_id string, turn_idx int, subj string, pred string, obj string",
+        plan_label="kg_streaming_prev_turn")
 
 
 def kg_streaming_prev_turn_oracle_sql(n_conv: int) -> str:

@@ -145,6 +145,12 @@ class TestBgpMatch:
             .executedPlan().toString()
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+        # patterns match over the MATERIALIZED graph table — the
+        # extraction (and its Python payload parse) must not be
+        # re-derived per pattern (round-3 finding: py:mapInPandas was 4)
+        assert plan.count("MapInPandas") == 0
+        # constant pred filters reach the parquet scan
+        assert "PushedFilters: [IsNotNull(pred), EqualTo(pred," in plan
 
     def test_bgp_optional_left_join_semantics(self, spark):
         from rdf_go_spark.operators.query import bgp_match

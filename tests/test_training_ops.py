@@ -439,3 +439,38 @@ class TestPlanShape:
                 parent[max(ra, rb)] = min(ra, rb)
         expected = {n: find(n) for n in parent}
         assert got == expected
+
+    def test_iteration_plans_captured_for_audit(self, spark):
+        """The iterative operators record round-0's executed plan (their
+        returned frames are localCheckpoint scans that hide it) — the plan
+        audit's no-cartesian gate reads these; they must exist and show a
+        real equi-join shape."""
+        from rdf_go_spark.operators import components
+        components.LAST_ITERATION_PLANS.clear()
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4)], "src long, dst long")
+        components.transitive_closure(edges)
+        components.connected_components(edges)
+        for name in ("transitive_closure", "connected_components"):
+            plan = components.LAST_ITERATION_PLANS[name]
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+            assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+                    or "BroadcastHashJoin" in plan), name
+
+    def test_bpe_regex_cross_engine_on_vertical_tab(self, spark):
+        """Java's \\s includes \\x0B, RE2's does not — the pre-tokenizer
+        spells whitespace as an explicit class so a document containing a
+        vertical tab pre-tokenizes identically in Spark and DuckDB."""
+        import duckdb as _duckdb
+
+        from rdf_go_spark.operators import textstats
+        rows = [(0, "hello\x0bworld it's 42!"),
+                (1, "a\x0b\x0b b\tc\n d"), (2, "\x0b"), (3, "plain text")]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        sdf = textstats.bpe_token_stats(docs)
+        con = _duckdb.connect()
+        con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        ddf = con.execute(textstats.bpe_token_stats_oracle()).df()
+        assert_frames_match(sdf, ddf)
