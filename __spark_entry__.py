@@ -198,6 +198,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_match": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_bgp_match(s, d)),
+    "kg_property_path": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_property_path(s, d)),
+    "kg_bgp_algebra": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_bgp_algebra(s, d)),
     "kg_turn_reachability": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_turn_reachability(s, d)),

@@ -15,6 +15,17 @@ cross — rejected by default). Catalyst handles join reordering,
 broadcast selection, and AQE skew splitting; per-pattern filters push
 into the scan. Duplicate-variable patterns (``?x p ?x``) filter within
 the pattern first.
+
+Beyond plain BGPs, the module covers the core SPARQL algebra:
+``optionals`` (OPTIONAL → left join), ``filters`` (FILTER → post-join
+predicates: numeric comparisons extract the integer from the canonical
+``"n"^^xsd:integer`` literal on both engines; ``bound``/``!bound`` test
+optional bindings), ``minus`` (MINUS → left-anti join on the shared
+variables), ``bgp_union`` (UNION → aligned column union with NULL
+padding), and property-path predicates (a pattern whose predicate is a
+path expression — ``<p>/<q>``, ``^<p>``, ``<p>|<q>``, ``<p>+`` — routes
+through operators/paths.py and joins like any other pattern). Every
+construct has a DuckDB SQL twin for oracle checking.
 """
 
 from __future__ import annotations
@@ -26,21 +37,30 @@ from pyspark.sql import functions as F
 
 _POSITIONS = ("subj", "pred", "obj")
 
+_INT_LIT_RE = r'^"(-?\d+)"'  # canonical integer literal prefix
+_FILTER_OPS = ("=", "!=", "<", "<=", ">", ">=", "bound", "!bound")
+
 
 def _is_var(term: str) -> bool:
     return term.startswith("?")
 
 
-def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str]) -> Tuple[DataFrame, List[str]]:
-    if len(pat) != 3:
-        raise ValueError(f"pattern {pat!r} is not a triple")
-    df = base
+def _is_path_pred(term: str) -> bool:
+    from .paths import is_path
+    return not _is_var(term) and is_path(term)
+
+
+def _bind_positions(df: DataFrame, pat, positions) -> Tuple[DataFrame, List[str]]:
+    """Shared var/const handling for a relation whose columns correspond
+    positionally to the pattern's terms: vars rename, constants filter,
+    a repeated var filters for within-pattern equality."""
     rename: Dict[str, str] = {}
-    for pos, term in zip(_POSITIONS, pat):
+    for pos, term in zip(positions, pat):
+        if term is None:
+            continue
         if _is_var(term):
             var = term[1:]
             if var in rename.values():
-                # ?x p ?x — equality within the pattern
                 prev = next(p for p, v in rename.items() if v == var)
                 df = df.filter(F.col(pos) == F.col(prev))
             else:
@@ -51,8 +71,46 @@ def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str]) -> Tuple[DataFr
             list(rename.values()))
 
 
+def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str]) -> Tuple[DataFrame, List[str]]:
+    if len(pat) != 3:
+        raise ValueError(f"pattern {pat!r} is not a triple")
+    s, p, o = pat
+    if _is_path_pred(p):
+        from .paths import path_pairs
+        rel = path_pairs(base, p)
+        return _bind_positions(rel, (s, o), ("src", "dst"))
+    return _bind_positions(base, pat, _POSITIONS)
+
+
+def _filter_column(var: str, op: str, value) -> "F.Column":
+    """One FILTER condition as a Spark Column. int value → numeric
+    compare on the integer extracted from the canonical
+    ``"n"^^xsd:integer`` literal (non-integer terms extract to null and
+    drop, as SPARQL type errors do); str value → canonical-term compare;
+    bound/!bound → null tests for OPTIONAL bindings."""
+    if op not in _FILTER_OPS:
+        raise ValueError(f"unsupported FILTER op {op!r} (have {_FILTER_OPS})")
+    col = F.col(var)
+    if op == "bound":
+        return col.isNotNull()
+    if op == "!bound":
+        return col.isNull()
+    if isinstance(value, bool) or not isinstance(value, (int, str)):
+        raise ValueError(f"FILTER value must be int or str, got {value!r}")
+    if isinstance(value, int):
+        # try_cast: regexp_extract yields '' on non-integer terms, which
+        # must become NULL (SPARQL type error → row drops), not an ANSI
+        # cast failure
+        col = F.regexp_extract(col, _INT_LIT_RE, 1).try_cast("long")
+        value = F.lit(value)
+    return {"=": col == value, "!=": col != value, "<": col < value,
+            "<=": col <= value, ">": col > value, ">=": col >= value}[op]
+
+
 def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
               optionals: Sequence[Tuple[str, str, str]] = (),
+              filters: Sequence[Tuple[str, str, object]] = (),
+              minus: Sequence[Tuple[str, str, str]] = (),
               allow_cross: bool = False) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
     distinct variable, one row per binding (bag semantics — add
@@ -60,7 +118,16 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
 
     ``optionals``: SPARQL-OPTIONAL-style patterns, each LEFT-joined on
     its shared variables after the required block — unmatched rows keep
-    null for the optional variables."""
+    null for the optional variables.
+
+    ``filters``: FILTER conditions as (var, op, value) applied after the
+    joins (see _filter_column); ``bound``/``!bound`` take value None.
+
+    ``minus``: SPARQL-MINUS block — solutions are removed when the minus
+    block matches with the same bindings on the variables the two blocks
+    share (a left-anti join, the scalable negation shape). Like SPARQL,
+    a minus block sharing NO variable removes nothing — rejected here as
+    a mistake unless the block is empty."""
     if not patterns:
         raise ValueError("empty BGP")
     base = triples.select(*_POSITIONS)
@@ -87,15 +154,68 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
                 f"required block")
         result = result.join(df, on=on, how="left")
         bound += [v for v in varset if v not in bound]
+    for var, op, value in filters:
+        name = var[1:] if _is_var(var) else var
+        if name not in bound:
+            raise ValueError(f"FILTER references unbound variable ?{name}")
+        result = result.filter(_filter_column(name, op, value))
+    if minus:
+        mdf = bgp_match(triples, minus, allow_cross=allow_cross)
+        shared = [v for v in mdf.columns if v in bound]
+        if not shared:
+            raise ValueError(
+                "MINUS block shares no variable with the main block — "
+                "SPARQL semantics would remove nothing")
+        result = result.join(mdf.select(*shared).distinct(),
+                             on=shared, how="left_anti")
     return result
 
 
-def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
-            base_cte: str, base_name: str = "base",
-            optionals: Sequence[Tuple[str, str, str]] = ()) -> str:
-    """DuckDB twin: the same BGP as self-joins over a triples CTE —
-    used as the oracle for driver BGP queries. Optional patterns become
-    LEFT JOINs with their constant conditions in the ON clause."""
+def bgp_union(triples: DataFrame,
+              blocks: Sequence[dict]) -> DataFrame:
+    """SPARQL UNION: each block is a dict of bgp_match kwargs
+    ({"patterns": ..., "optionals": ..., "filters": ..., "minus": ...});
+    results align on the union of all blocks' variables (first-appearance
+    order) with nulls for variables a block does not bind — exactly
+    SPARQL's union of solution mappings with disjoint domains allowed."""
+    if not blocks:
+        raise ValueError("empty UNION")
+    parts = [bgp_match(triples, **blk) for blk in blocks]
+    all_vars: List[str] = []
+    for p in parts:
+        for c in p.columns:
+            if c not in all_vars:
+                all_vars.append(c)
+    aligned = [
+        p.select(*[F.col(c) if c in p.columns
+                   else F.lit(None).cast("string").alias(c)
+                   for c in all_vars])
+        for p in parts
+    ]
+    out = aligned[0]
+    for p in aligned[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _filter_sql(var: str, op: str, value) -> str:
+    name = var[1:] if _is_var(var) else var
+    if op == "bound":
+        return f"{name} IS NOT NULL"
+    if op == "!bound":
+        return f"{name} IS NULL"
+    if isinstance(value, int) and not isinstance(value, bool):
+        lhs = (f"TRY_CAST(regexp_extract({name}, '{_INT_LIT_RE}', 1) "
+               f"AS BIGINT)")
+        return f"{lhs} {'<>' if op == '!=' else op} {value}"
+    esc = str(value).replace("'", "''")
+    return f"{name} {'<>' if op == '!=' else op} '{esc}'"
+
+
+def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
+                  minus=()) -> Tuple[str, List[str]]:
+    """SELECT body for a BGP block over an existing ``base_name`` CTE;
+    returns (sql, bound variable names)."""
     selects: List[str] = []
     joins: List[str] = []
     where: List[str] = []
@@ -103,8 +223,16 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
 
     def compile_one(i: int, pat, optional: bool):
         alias = f"t{i}"
+        s, p, o = pat
+        if _is_path_pred(p):
+            from .paths import _compile_sql, parse_path
+            rel = f"{_compile_sql(parse_path(p), base_name)}"
+            terms = [("src", s), ("dst", o)]
+        else:
+            rel = base_name
+            terms = list(zip(_POSITIONS, pat))
         conds = []
-        for pos, term in zip(_POSITIONS, pat):
+        for pos, term in terms:
             col = f"{alias}.{pos}"
             if _is_var(term):
                 var = term[1:]
@@ -116,21 +244,73 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
             else:
                 conds.append(f"{col} = '" + term.replace("'", "''") + "'")
         if i == 0:
-            joins.append(f"{base_name} {alias}")
+            joins.append(f"{rel} {alias}")
             where.extend(conds)
         elif conds:
             kw = "LEFT JOIN" if optional else "JOIN"
-            joins.append(f"{kw} {base_name} {alias} ON "
-                         + " AND ".join(conds))
+            joins.append(f"{kw} {rel} {alias} ON " + " AND ".join(conds))
         else:
-            joins.append(f"CROSS JOIN {base_name} {alias}")
+            joins.append(f"CROSS JOIN {rel} {alias}")
 
     for i, pat in enumerate(patterns):
         compile_one(i, pat, optional=False)
     for j, pat in enumerate(optionals):
         compile_one(len(patterns) + j, pat, optional=True)
-    sql = f"WITH {base_name} AS ({base_cte})\n" \
-          f"SELECT {', '.join(selects)}\nFROM " + "\n".join(joins)
+    sql = f"SELECT {', '.join(selects)}\nFROM " + "\n".join(joins)
     if where:
         sql += "\nWHERE " + " AND ".join(where)
-    return sql
+    bound = list(seen.keys())
+
+    outer_conds = [_filter_sql(v, op, val) for v, op, val in filters]
+    if minus:
+        msql, mvars = _bgp_sql_body(minus, base_name)
+        shared = [v for v in mvars if v in bound]
+        on = " AND ".join(f"mm.{v} = q.{v}" for v in shared)
+        outer_conds.append(
+            f"NOT EXISTS (SELECT 1 FROM ({msql}) mm WHERE {on})")
+    if outer_conds:
+        sql = (f"SELECT * FROM (\n{sql}\n) q\nWHERE "
+               + " AND ".join(outer_conds))
+    return sql, bound
+
+
+def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
+            base_cte: str, base_name: str = "base",
+            optionals: Sequence[Tuple[str, str, str]] = (),
+            filters: Sequence[Tuple[str, str, object]] = (),
+            minus: Sequence[Tuple[str, str, str]] = ()) -> str:
+    """DuckDB twin of ``bgp_match``: the same BGP (with OPTIONAL /
+    FILTER / MINUS / path predicates) as self-joins over a triples CTE —
+    the oracle for driver BGP queries. Optional patterns become LEFT
+    JOINs with their constant conditions in the ON clause; MINUS becomes
+    NOT EXISTS on the shared variables; path predicates inline their
+    compiled relation (operators/paths.py)."""
+    body, _ = _bgp_sql_body(patterns, base_name, optionals=optionals,
+                            filters=filters, minus=minus)
+    return f"WITH {base_name} AS ({base_cte})\n{body}"
+
+
+def bgp_union_sql(blocks: Sequence[dict], base_cte: str,
+                  base_name: str = "base") -> str:
+    """DuckDB twin of ``bgp_union``: per-block bodies aligned on the
+    union of all variables (NULL-padded), UNION ALL."""
+    bodies = [
+        _bgp_sql_body(blk["patterns"], base_name,
+                      optionals=blk.get("optionals", ()),
+                      filters=blk.get("filters", ()),
+                      minus=blk.get("minus", ()))
+        for blk in blocks
+    ]
+    all_vars: List[str] = []
+    for _, vs in bodies:
+        for v in vs:
+            if v not in all_vars:
+                all_vars.append(v)
+    parts = []
+    for k, (body, vs) in enumerate(bodies):
+        cols = ", ".join(
+            v if v in vs else f"CAST(NULL AS VARCHAR) AS {v}"
+            for v in all_vars)
+        parts.append(f"SELECT {cols} FROM (\n{body}\n) u{k}")
+    return (f"WITH {base_name} AS ({base_cte})\n"
+            + "\nUNION ALL\n".join(parts))

@@ -284,6 +284,81 @@ def kg_bgp_match_oracle_sql(n_conv: int) -> str:
                    optionals=_BGP_OPTIONALS)
 
 
+_V = "http://example.org/v/"
+
+# seq / one-or-more / alternation / grouping in one expression; inverse
+# (^) is exercised in unit tests (tests/test_query_algebra.py)
+_PATH_EXPR = (f"<{_V}hasTurn>/<{_V}prevTurn>+"
+              f"/(<{_V}mentions>|<{_V}tool>)")
+
+
+def kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 property-path query over the materialized graph:
+    ``hasTurn/prevTurn+/(mentions|tool)`` — per conversation, every
+    entity mentioned (or tool invoked) strictly before some later turn.
+    The path compiles to a join/union tree (operators/paths.py) with
+    ``+`` lowered onto the path-doubling transitive closure; the graph
+    is materialized ONCE into a bucketed table so each path step scans
+    columnar data with its pred filter pushed down, never re-running
+    the extraction."""
+    from pyspark.sql import functions as F
+
+    from ..operators.graph import materialize_bucketed
+    from ..operators.paths import path_pairs
+
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    materialize_bucketed(t, "kg_path_graph", n_buckets=8)
+    return (path_pairs(spark.table("kg_path_graph"), _PATH_EXPR)
+            .select(F.col("src").alias("conv"), F.col("dst").alias("val")))
+
+
+def kg_property_path_oracle_sql(n_conv: int) -> str:
+    from ..operators.paths import path_sql
+
+    inner = path_sql(_PATH_EXPR, kg_triples_oracle_sql(n_conv))
+    return f"SELECT src AS conv, dst AS val FROM (\n{inner}\n) pp"
+
+
+_ALG_BLOCKS = [
+    {   # assistant turns past index 3 with their mention, excluding
+        # (MINUS) any turn that mentions the hot entity 0; ?tool NULL-pads
+        "patterns": [("?c", f"<{_V}hasTurn>", "?t"),
+                     ("?t", f"<{_V}role>", '"assistant"'),
+                     ("?t", f"<{_V}mentions>", "?e"),
+                     ("?t", f"<{_V}index>", "?i")],
+        "filters": [("?i", ">", 3)],
+        "minus": [("?t", f"<{_V}mentions>", "<http://example.org/e/0>")],
+    },
+    {   # tool invocations within the first four turns
+        "patterns": [("?c", f"<{_V}hasTurn>", "?t"),
+                     ("?t", f"<{_V}tool>", "?tool"),
+                     ("?t", f"<{_V}index>", "?i")],
+        "filters": [("?i", "<=", 3)],
+    },
+]
+
+
+def kg_bgp_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL algebra beyond plain BGPs, in one driver query: UNION of
+    two blocks, one carrying a numeric FILTER (on the canonical
+    xsd:integer literal) and a MINUS (left-anti join on the shared
+    variable), the other a FILTER only; results align on the union of
+    the blocks' variables with NULL padding (operators/query.py).
+    Same materialize-once-then-match shape as kg_bgp_match."""
+    from ..operators.graph import materialize_bucketed
+    from ..operators.query import bgp_union
+
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    materialize_bucketed(t, "kg_alg_graph", n_buckets=8)
+    return bgp_union(spark.table("kg_alg_graph"), _ALG_BLOCKS)
+
+
+def kg_bgp_algebra_oracle_sql(n_conv: int) -> str:
+    from ..operators.query import bgp_union_sql
+
+    return bgp_union_sql(_ALG_BLOCKS, kg_triples_oracle_sql(n_conv))
+
+
 def kg_turn_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path query pred+ over the graph: transitive closure of
     prevTurn with shortest hop distance — each turn reaches every earlier
