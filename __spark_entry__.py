@@ -204,6 +204,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_bgp_algebra": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_bgp_algebra(s, d)),
+    "kg_sparql_select": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_sparql_select(s, d)),
+    "kg_sparql_construct": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_sparql_construct(s, d)),
     "kg_turn_reachability": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_turn_reachability(s, d)),

@@ -1,0 +1,766 @@
+"""SPARQL text front-end: parse a real SPARQL SELECT / CONSTRUCT query
+string and execute it over the triples table through the algebra layer
+(operators/query.py, operators/paths.py) — plus a DuckDB SQL twin of the
+same parsed query so every SPARQL query is oracle-checkable.
+
+The reference (geoknoesis/rdf-go) is construction-only; SPARQL is the
+Spark-side query extension on top of the BGP/path operators (SURVEY.md
+§2.4). The engine stays declarative end-to-end: a parsed query compiles
+to DataFrame joins/filters/aggregations, so Catalyst handles join
+reordering, broadcast selection, pushdown, and AQE skew handling — no
+interpretation loop, no Python in the hot path.
+
+Supported subset (documented, rejected-with-error beyond it)::
+
+    PREFIX pfx: <iri>                       (any number)
+    SELECT [DISTINCT] ?v ... | * |
+           (COUNT(*) AS ?n) (COUNT|SUM|MIN|MAX|AVG([DISTINCT] ?v) AS ?a)
+    CONSTRUCT { template triples }
+    WHERE {
+      ?s <p> ?o .                           triple patterns, ; and , lists
+      ?s pfx:p/pfx:q+ ?o .                  property paths (/ | ^ +)
+      ?s a ?type .                          'a' = rdf:type
+      OPTIONAL { ... }                      left join
+      FILTER(?i > 3)  FILTER(bound(?x))     =, !=, <, <=, >, >=, [!]bound
+      MINUS { ... }                         left-anti on shared vars
+    }
+    { block } UNION { block }               at WHERE top level
+    GROUP BY ?v ...   ORDER BY [ASC|DESC](?v) ...   LIMIT n
+
+Numeric positions (FILTER comparisons to an integer, SUM/MIN/MAX/AVG)
+operate on the canonical ``"n"^^xsd:integer`` literal form the pipeline
+emits, extracting the integer identically on both engines; non-integer
+terms become NULL and drop, mirroring SPARQL type errors. AVG rounds to
+6 decimals on both engines so float formatting can't diverge.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .query import (
+    _INT_LIT_RE, bgp_match, bgp_sql, bgp_union, bgp_union_sql,
+)
+
+RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
+
+_KEYWORDS = {
+    "PREFIX", "SELECT", "CONSTRUCT", "DISTINCT", "WHERE", "OPTIONAL",
+    "FILTER", "MINUS", "UNION", "GROUP", "BY", "ORDER", "ASC", "DESC",
+    "LIMIT", "AS", "COUNT", "SUM", "MIN", "MAX", "AVG", "BOUND", "A",
+}
+_AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+_CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+class SparqlError(ValueError):
+    """Parse or unsupported-feature error, with position context."""
+
+
+# ---------------------------------------------------------------- tokens
+
+@dataclass
+class _Tok:
+    kind: str   # iri var literal int pname kw op
+    val: object
+
+
+def _is_pname_char(c: str) -> bool:
+    return c.isalnum() or c in "_-.:"
+
+
+def _tokenize(q: str) -> List[_Tok]:
+    toks: List[_Tok] = []
+    i, n = 0, len(q)
+    while i < n:
+        c = q[i]
+        if c.isspace():
+            i += 1
+        elif c == "#":
+            j = q.find("\n", i)
+            i = n if j < 0 else j + 1
+        elif c == "<":
+            # IRI iff '>' arrives before any whitespace; else comparison
+            j = i + 1
+            while j < n and not q[j].isspace() and q[j] != ">":
+                j += 1
+            if j < n and q[j] == ">":
+                toks.append(_Tok("iri", q[i:j + 1]))
+                i = j + 1
+            elif i + 1 < n and q[i + 1] == "=":
+                toks.append(_Tok("op", "<="))
+                i += 2
+            else:
+                toks.append(_Tok("op", "<"))
+                i += 1
+        elif c in "?$":
+            j = i + 1
+            while j < n and (q[j].isalnum() or q[j] == "_"):
+                j += 1
+            if j == i + 1:
+                raise SparqlError(f"empty variable name at offset {i}")
+            toks.append(_Tok("var", q[i + 1:j]))
+            i = j
+        elif c == '"':
+            j = i + 1
+            buf = ['"']
+            while j < n and q[j] != '"':
+                if q[j] == "\\" and j + 1 < n:
+                    buf.append(q[j:j + 2])
+                    j += 2
+                else:
+                    buf.append(q[j])
+                    j += 1
+            if j >= n:
+                raise SparqlError(f"unterminated string at offset {i}")
+            buf.append('"')
+            i = j + 1
+            lex = "".join(buf)
+            if q[i:i + 2] == "^^":
+                i += 2
+                toks.append(_Tok("literal", lex))
+                toks.append(_Tok("op", "^^"))
+                continue
+            if i < n and q[i] == "@":
+                j = i + 1
+                while j < n and (q[j].isalnum() or q[j] == "-"):
+                    j += 1
+                lex += q[i:j]
+                i = j
+            toks.append(_Tok("literal", lex))
+        elif c.isdigit() or (c == "-" and i + 1 < n and q[i + 1].isdigit()):
+            j = i + 1
+            while j < n and q[j].isdigit():
+                j += 1
+            if j < n and q[j] in ".eE":
+                raise SparqlError(
+                    "only integer numeric literals are supported "
+                    f"(offset {i})")
+            toks.append(_Tok("int", int(q[i:j])))
+            i = j
+        elif c == "!" and q[i:i + 2] == "!=":
+            toks.append(_Tok("op", "!="))
+            i += 2
+        elif c == ">" and q[i:i + 2] == ">=":
+            toks.append(_Tok("op", ">="))
+            i += 2
+        elif c in "{}.,;()*!=<>/|^+":
+            toks.append(_Tok("op", c))
+            i += 1
+        elif c.isalpha() or c == "_":
+            j = i
+            while j < n and _is_pname_char(q[j]):
+                j += 1
+            word = q[i:j]
+            # PN_LOCAL cannot END with '.', so a trailing dot is the
+            # statement terminator, not part of the name
+            while word.endswith("."):
+                word = word[:-1]
+                j -= 1
+            i = j
+            if ":" in word:
+                toks.append(_Tok("pname", word))
+            elif word.upper() in _KEYWORDS:
+                toks.append(_Tok("kw", word.upper()))
+            else:
+                raise SparqlError(
+                    f"unexpected bare word {word!r} (not a keyword, "
+                    "prefixed name, or 'a')")
+        else:
+            raise SparqlError(f"unexpected character {c!r} at offset {i}")
+    return toks
+
+
+# ------------------------------------------------------------------- AST
+
+@dataclass
+class _Block:
+    patterns: List[Tuple[str, str, str]] = field(default_factory=list)
+    optionals: List[Tuple[str, str, str]] = field(default_factory=list)
+    filters: List[Tuple[str, str, object]] = field(default_factory=list)
+    minus: List[Tuple[str, str, str]] = field(default_factory=list)
+
+    def kwargs(self) -> dict:
+        return {"patterns": self.patterns, "optionals": self.optionals,
+                "filters": self.filters, "minus": self.minus}
+
+
+@dataclass
+class _Proj:
+    kind: str                 # "var" | "agg" | "star"
+    var: Optional[str] = None          # projected/arg variable
+    func: Optional[str] = None         # COUNT/SUM/MIN/MAX/AVG
+    distinct: bool = False             # COUNT(DISTINCT ?x)
+    alias: Optional[str] = None
+
+
+@dataclass
+class ParsedQuery:
+    form: str                          # "select" | "construct"
+    distinct: bool
+    projection: List[_Proj]
+    blocks: List[_Block]               # >1 means UNION
+    group_by: List[str]
+    order_by: List[Tuple[str, bool]]   # (var, ascending)
+    limit: Optional[int]
+    template: List[Tuple[str, str, str]]   # CONSTRUCT triples
+
+
+class _Parser:
+    def __init__(self, toks: List[_Tok], text: str):
+        self.toks, self.i, self.text = toks, 0, text
+        self.prefixes: dict[str, str] = {}
+
+    # ---- token helpers
+    def peek(self, ahead: int = 0) -> Optional[_Tok]:
+        j = self.i + ahead
+        return self.toks[j] if j < len(self.toks) else None
+
+    def take(self) -> _Tok:
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end of query")
+        self.i += 1
+        return t
+
+    def expect_op(self, op: str) -> None:
+        t = self.take()
+        if t.kind != "op" or t.val != op:
+            raise SparqlError(f"expected {op!r}, got {t.val!r}")
+
+    def expect_kw(self, kw: str) -> None:
+        t = self.take()
+        if t.kind != "kw" or t.val != kw:
+            raise SparqlError(f"expected {kw}, got {t.val!r}")
+
+    def at_op(self, op: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "op" and t.val == op
+
+    def at_kw(self, kw: str) -> bool:
+        t = self.peek()
+        return t is not None and t.kind == "kw" and t.val == kw
+
+    # ---- term rendering (canonical pipeline forms)
+    def _expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlError(f"undeclared prefix {pfx!r}:")
+        return f"<{self.prefixes[pfx]}{local}>"
+
+    def _term(self, t: _Tok, position: str) -> str:
+        if t.kind == "var":
+            return "?" + t.val
+        if t.kind == "iri":
+            return t.val
+        if t.kind == "pname":
+            return self._expand_pname(t.val)
+        if t.kind == "kw" and t.val == "A":
+            if position != "pred":
+                raise SparqlError("'a' is only valid as a predicate")
+            return RDF_TYPE
+        if t.kind == "literal":
+            lex = t.val
+            if self.at_op("^^"):
+                self.take()
+                dt = self.take()
+                if dt.kind == "iri":
+                    return f"{lex}^^{dt.val}"
+                if dt.kind == "pname":
+                    return f"{lex}^^{self._expand_pname(dt.val)}"
+                raise SparqlError(f"bad datatype {dt.val!r}")
+            return lex
+        if t.kind == "int":
+            return f'"{t.val}"^^<{XSD_INTEGER}>'
+        raise SparqlError(f"unexpected {t.val!r} in {position} position")
+
+    # ---- property paths in predicate position (grammar of paths.py)
+    def _path(self) -> str:
+        parts = [self._path_seq()]
+        while self.at_op("|"):
+            self.take()
+            parts.append(self._path_seq())
+        return "|".join(parts)
+
+    def _path_seq(self) -> str:
+        parts = [self._path_step()]
+        while self.at_op("/"):
+            self.take()
+            parts.append(self._path_step())
+        return "/".join(parts)
+
+    def _path_step(self) -> str:
+        if self.at_op("^"):
+            self.take()
+            return "^" + self._path_step()
+        s = self._path_primary()
+        while self.at_op("+"):
+            self.take()
+            s += "+"
+        if self.at_op("*"):
+            raise SparqlError(
+                "path operator '*' is unsupported (zero-length path = "
+                "node-universe scan; see operators/paths.py)")
+        return s
+
+    def _path_primary(self) -> str:
+        t = self.take()
+        if t.kind == "op" and t.val == "(":
+            inner = self._path()
+            self.expect_op(")")
+            return f"({inner})"
+        if t.kind == "iri":
+            return t.val
+        if t.kind == "pname":
+            return self._expand_pname(t.val)
+        if t.kind == "kw" and t.val == "A":
+            return RDF_TYPE
+        if t.kind == "op" and t.val in ("*", "?"):
+            raise SparqlError(
+                f"path operator {t.val!r} is unsupported (zero-length "
+                "path = node-universe scan; see operators/paths.py)")
+        raise SparqlError(f"unexpected {t.val!r} in property path")
+
+    def _predicate(self) -> str:
+        t = self.peek()
+        if t is None:
+            raise SparqlError("unexpected end of query in predicate")
+        if t.kind == "var":
+            self.take()
+            return "?" + t.val
+        return self._path()   # a single IRI is the trivial path
+
+    # ---- triple block
+    def _triples_into(self, out: List[Tuple[str, str, str]]) -> None:
+        subj = self._term(self.take(), "subj")
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._term(self.take(), "obj")
+                out.append((subj, pred, obj))
+                if self.at_op(","):
+                    self.take()
+                    continue
+                break
+            if self.at_op(";"):
+                self.take()
+                if self.at_op(".") or self.at_op("}"):  # dangling ;
+                    break
+                continue
+            break
+        if self.at_op("."):
+            self.take()
+
+    def _filter(self, blk: _Block) -> None:
+        self.expect_op("(")
+        negated = False
+        if self.at_op("!"):
+            self.take()
+            negated = True
+        if self.at_kw("BOUND"):
+            self.take()
+            self.expect_op("(")
+            v = self.take()
+            if v.kind != "var":
+                raise SparqlError("bound() takes a variable")
+            self.expect_op(")")
+            blk.filters.append(
+                ("?" + v.val, "!bound" if negated else "bound", None))
+        else:
+            if negated:
+                raise SparqlError("'!' is only supported as !bound(...)")
+            v = self.take()
+            if v.kind != "var":
+                raise SparqlError("FILTER comparisons must start with a "
+                                  "variable")
+            op = self.take()
+            if op.kind != "op" or op.val not in _CMP_OPS:
+                raise SparqlError(f"unsupported FILTER operator {op.val!r}")
+            rhs = self.take()
+            value: object
+            if rhs.kind == "int":
+                value = rhs.val
+            elif rhs.kind == "var":
+                raise SparqlError(
+                    "variable-to-variable FILTER comparison is not "
+                    "supported (compare to a constant)")
+            else:
+                value = self._term(rhs, "obj")
+            blk.filters.append(("?" + v.val, op.val, value))
+        self.expect_op(")")
+
+    def _group(self) -> _Block:
+        self.expect_op("{")
+        blk = _Block()
+        while not self.at_op("}"):
+            if self.at_kw("OPTIONAL"):
+                self.take()
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    self._triples_into(blk.optionals)
+                self.take()
+            elif self.at_kw("MINUS"):
+                self.take()
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    self._triples_into(blk.minus)
+                self.take()
+            elif self.at_kw("FILTER"):
+                self.take()
+                self._filter(blk)
+            else:
+                self._triples_into(blk.patterns)
+        self.take()   # }
+        return blk
+
+    def _where_blocks(self) -> List[_Block]:
+        # WHERE { {b1} UNION {b2} ... }  or  WHERE { plain block }
+        self.expect_op("{")
+        if self.at_op("{"):
+            blocks = [self._group()]
+            while self.at_kw("UNION"):
+                self.take()
+                blocks.append(self._group())
+            self.expect_op("}")
+            if len(blocks) == 1:
+                return blocks
+            return blocks
+        # plain block: re-parse as a group body
+        blk = _Block()
+        while not self.at_op("}"):
+            if self.at_kw("OPTIONAL"):
+                self.take()
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    self._triples_into(blk.optionals)
+                self.take()
+            elif self.at_kw("MINUS"):
+                self.take()
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    self._triples_into(blk.minus)
+                self.take()
+            elif self.at_kw("FILTER"):
+                self.take()
+                self._filter(blk)
+            else:
+                self._triples_into(blk.patterns)
+        self.take()
+        return [blk]
+
+    # ---- projection
+    def _projection(self) -> List[_Proj]:
+        projs: List[_Proj] = []
+        while True:
+            t = self.peek()
+            if t is None:
+                break
+            if t.kind == "op" and t.val == "*":
+                self.take()
+                projs.append(_Proj("star"))
+            elif t.kind == "var":
+                self.take()
+                projs.append(_Proj("var", var=t.val))
+            elif t.kind == "op" and t.val == "(":
+                self.take()
+                f_ = self.take()
+                if f_.kind != "kw" or f_.val not in _AGG_FUNCS:
+                    raise SparqlError(
+                        f"expected aggregate function, got {f_.val!r}")
+                self.expect_op("(")
+                distinct = False
+                if self.at_kw("DISTINCT"):
+                    self.take()
+                    distinct = True
+                arg = self.take()
+                if arg.kind == "op" and arg.val == "*":
+                    if f_.val != "COUNT":
+                        raise SparqlError(f"{f_.val}(*) is not valid")
+                    var = None
+                elif arg.kind == "var":
+                    var = arg.val
+                else:
+                    raise SparqlError(
+                        f"aggregate argument must be ?var or *, got "
+                        f"{arg.val!r}")
+                self.expect_op(")")
+                self.expect_kw("AS")
+                alias = self.take()
+                if alias.kind != "var":
+                    raise SparqlError("AS must bind a ?variable")
+                self.expect_op(")")
+                projs.append(_Proj("agg", var=var, func=f_.val,
+                                   distinct=distinct, alias=alias.val))
+            else:
+                break
+        if not projs:
+            raise SparqlError("empty SELECT projection")
+        return projs
+
+    # ---- top level
+    def parse(self) -> ParsedQuery:
+        while self.at_kw("PREFIX"):
+            self.take()
+            p = self.take()
+            if p.kind != "pname" or not p.val.endswith(":"):
+                raise SparqlError(f"bad PREFIX name {p.val!r}")
+            iri = self.take()
+            if iri.kind != "iri":
+                raise SparqlError("PREFIX needs an <iri>")
+            self.prefixes[p.val[:-1]] = iri.val[1:-1]
+
+        t = self.take()
+        if t.kind != "kw" or t.val not in ("SELECT", "CONSTRUCT"):
+            raise SparqlError(
+                f"only SELECT/CONSTRUCT are supported, got {t.val!r}")
+        form = t.val.lower()
+
+        distinct = False
+        projection: List[_Proj] = []
+        template: List[Tuple[str, str, str]] = []
+        if form == "select":
+            if self.at_kw("DISTINCT"):
+                self.take()
+                distinct = True
+            projection = self._projection()
+        else:
+            self.expect_op("{")
+            while not self.at_op("}"):
+                self._triples_into(template)
+            self.take()
+
+        if self.at_kw("WHERE"):
+            self.take()
+        blocks = self._where_blocks()
+
+        group_by: List[str] = []
+        order_by: List[Tuple[str, bool]] = []
+        limit: Optional[int] = None
+        while self.peek() is not None:
+            if self.at_kw("GROUP"):
+                self.take()
+                self.expect_kw("BY")
+                while self.peek() is not None and self.peek().kind == "var":
+                    group_by.append(self.take().val)
+                if not group_by:
+                    raise SparqlError("GROUP BY needs at least one ?var")
+            elif self.at_kw("ORDER"):
+                self.take()
+                self.expect_kw("BY")
+                saw = False
+                while True:
+                    if self.at_kw("ASC") or self.at_kw("DESC"):
+                        asc = self.take().val == "ASC"
+                        self.expect_op("(")
+                        v = self.take()
+                        if v.kind != "var":
+                            raise SparqlError("ORDER BY needs ?vars")
+                        self.expect_op(")")
+                        order_by.append((v.val, asc))
+                        saw = True
+                    elif self.peek() is not None and self.peek().kind == "var":
+                        order_by.append((self.take().val, True))
+                        saw = True
+                    else:
+                        break
+                if not saw:
+                    raise SparqlError("empty ORDER BY")
+            elif self.at_kw("LIMIT"):
+                self.take()
+                v = self.take()
+                if v.kind != "int" or v.val < 0:
+                    raise SparqlError("LIMIT needs a non-negative integer")
+                limit = v.val
+            else:
+                raise SparqlError(
+                    f"unexpected trailing {self.peek().val!r}")
+
+        q = ParsedQuery(form=form, distinct=distinct, projection=projection,
+                        blocks=blocks, group_by=group_by, order_by=order_by,
+                        limit=limit, template=template)
+        _validate(q)
+        return q
+
+
+def _validate(q: ParsedQuery) -> None:
+    has_agg = any(p.kind == "agg" for p in q.projection)
+    if has_agg:
+        for p in q.projection:
+            if p.kind == "star":
+                raise SparqlError("SELECT * cannot mix with aggregates")
+            if p.kind == "var" and p.var not in q.group_by:
+                raise SparqlError(
+                    f"?{p.var} is projected but neither aggregated nor "
+                    "in GROUP BY")
+    elif q.group_by:
+        raise SparqlError("GROUP BY without an aggregate in SELECT")
+    if q.form == "construct":
+        if q.group_by or any(p.kind == "agg" for p in q.projection):
+            raise SparqlError("CONSTRUCT does not take aggregates")
+        if not q.template:
+            raise SparqlError("empty CONSTRUCT template")
+
+
+def parse_sparql(text: str) -> ParsedQuery:
+    return _Parser(_tokenize(text), text).parse()
+
+
+# ----------------------------------------------------------- DataFrame
+
+def _int_col(name: str) -> "F.Column":
+    return F.regexp_extract(F.col(name), _INT_LIT_RE, 1).try_cast("long")
+
+
+def _agg_column(p: _Proj) -> "F.Column":
+    if p.func == "COUNT":
+        if p.var is None:
+            c = F.count(F.lit(1))
+        elif p.distinct:
+            c = F.count_distinct(F.col(p.var))
+        else:
+            c = F.count(F.col(p.var))
+        return c.alias(p.alias)
+    col = _int_col(p.var)
+    if p.distinct:
+        raise SparqlError(f"DISTINCT inside {p.func} is only supported "
+                          "for COUNT")
+    fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[p.func]
+    c = fn(col)
+    if p.func == "AVG":
+        c = F.round(c, 6)
+    return c.alias(p.alias)
+
+
+def sparql_select(triples: DataFrame, query: str) -> DataFrame:
+    """Execute a SPARQL SELECT/CONSTRUCT string over the triples table
+    (canonical subj/pred/obj columns). Returns one column per projected
+    variable (SELECT) or canonical subj/pred/obj rows (CONSTRUCT)."""
+    q = parse_sparql(query)
+    if len(q.blocks) == 1:
+        sol = bgp_match(triples, **q.blocks[0].kwargs())
+    else:
+        sol = bgp_union(triples, [b.kwargs() for b in q.blocks])
+
+    if q.form == "construct":
+        parts = []
+        for (s, p, o) in q.template:
+            cols = []
+            cond = F.lit(True)
+            for term, name in ((s, "subj"), (p, "pred"), (o, "obj")):
+                if term.startswith("?"):
+                    v = term[1:]
+                    if v not in sol.columns:
+                        raise SparqlError(
+                            f"template variable ?{v} is not bound in WHERE")
+                    cols.append(F.col(v).alias(name))
+                    cond = cond & F.col(v).isNotNull()
+                else:
+                    cols.append(F.lit(term).alias(name))
+            parts.append(sol.filter(cond).select(*cols))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.distinct()    # a graph is a set of triples
+
+    has_agg = any(p.kind == "agg" for p in q.projection)
+    if has_agg:
+        aggs = [_agg_column(p) for p in q.projection if p.kind == "agg"]
+        sol = (sol.groupBy(*q.group_by).agg(*aggs) if q.group_by
+               else sol.agg(*aggs))
+        names = [p.var if p.kind == "var" else p.alias
+                 for p in q.projection]
+        sol = sol.select(*names)
+    else:
+        if not any(p.kind == "star" for p in q.projection):
+            sol = sol.select(*[p.var for p in q.projection])
+        if q.distinct:
+            sol = sol.distinct()
+    if q.order_by:
+        sol = sol.orderBy(*[
+            F.col(v).asc() if asc else F.col(v).desc()
+            for v, asc in q.order_by])
+    if q.limit is not None:
+        sol = sol.limit(q.limit)
+    return sol
+
+
+# ------------------------------------------------------------ SQL twin
+
+def _int_sql(name: str) -> str:
+    return (f"TRY_CAST(regexp_extract({name}, '{_INT_LIT_RE}', 1) "
+            f"AS BIGINT)")
+
+
+def _agg_sql(p: _Proj) -> str:
+    if p.func == "COUNT":
+        if p.var is None:
+            inner = "count(*)"
+        elif p.distinct:
+            inner = f"count(DISTINCT {p.var})"
+        else:
+            inner = f"count({p.var})"
+        return f"{inner}::BIGINT AS {p.alias}"
+    expr = _int_sql(p.var)
+    fn = p.func.lower()
+    if p.func == "AVG":
+        return f"round(avg({expr}), 6) AS {p.alias}"
+    return f"{fn}({expr})::BIGINT AS {p.alias}"
+
+
+def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
+    """DuckDB twin: the same parsed query compiled to SQL over a triples
+    CTE — the oracle for driver SPARQL queries."""
+    q = parse_sparql(query)
+    if len(q.blocks) == 1:
+        b = q.blocks[0]
+        inner = bgp_sql(b.patterns, base_cte, base_name=base_name,
+                        optionals=b.optionals, filters=b.filters,
+                        minus=b.minus)
+    else:
+        inner = bgp_union_sql([b.kwargs() for b in q.blocks], base_cte,
+                              base_name=base_name)
+
+    if q.form == "construct":
+        parts = []
+        for (s, p, o) in q.template:
+            sel, conds = [], []
+            for term, name in ((s, "subj"), (p, "pred"), (o, "obj")):
+                if term.startswith("?"):
+                    sel.append(f"{term[1:]} AS {name}")
+                    conds.append(f"{term[1:]} IS NOT NULL")
+                else:
+                    esc = term.replace("'", "''")
+                    sel.append(f"'{esc}' AS {name}")
+            w = (" WHERE " + " AND ".join(conds)) if conds else ""
+            # DISTINCT inside each part too: a graph is a set of triples
+            # even when the template has a single pattern
+            parts.append(
+                f"SELECT DISTINCT {', '.join(sel)} FROM sparql_sol{w}")
+        return (f"WITH sparql_sol AS (\n{inner}\n)\n"
+                + "\nUNION\n".join(parts))
+
+    has_agg = any(p.kind == "agg" for p in q.projection)
+    if has_agg:
+        cols = [p.var if p.kind == "var" else _agg_sql(p)
+                for p in q.projection]
+        sql = (f"SELECT {', '.join(cols)} FROM (\n{inner}\n) q")
+        if q.group_by:
+            sql += "\nGROUP BY " + ", ".join(q.group_by)
+    else:
+        if any(p.kind == "star" for p in q.projection):
+            cols = ["*"]
+        else:
+            cols = [p.var for p in q.projection]
+        kw = "SELECT DISTINCT" if q.distinct else "SELECT"
+        sql = f"{kw} {', '.join(cols)} FROM (\n{inner}\n) q"
+    if q.order_by:
+        sql += "\nORDER BY " + ", ".join(
+            f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order_by)
+    if q.limit is not None:
+        sql += f"\nLIMIT {q.limit}"
+    return sql

@@ -359,6 +359,69 @@ def kg_bgp_algebra_oracle_sql(n_conv: int) -> str:
     return bgp_union_sql(_ALG_BLOCKS, kg_triples_oracle_sql(n_conv))
 
 
+_SPARQL_SELECT = """
+PREFIX v: <http://example.org/v/>
+SELECT ?e (COUNT(?t) AS ?n_turns) (MIN(?i) AS ?first_idx)
+       (MAX(?i) AS ?last_idx)
+WHERE {
+  ?c v:hasTurn ?t .
+  ?t v:mentions ?e ;
+     v:index ?i .
+  FILTER(?i > 0)
+}
+GROUP BY ?e
+"""
+
+_SPARQL_CONSTRUCT = """
+PREFIX v: <http://example.org/v/>
+CONSTRUCT { ?c v:hasEntity ?e . ?e v:usedWith ?tool }
+WHERE {
+  ?c v:hasTurn ?t .
+  ?t v:mentions ?e .
+  OPTIONAL { ?t v:tool ?tool }
+}
+"""
+
+
+def kg_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A real SPARQL SELECT string — prefixes, predicate-object lists,
+    FILTER, GROUP BY with COUNT/MIN/MAX — parsed and executed through the
+    algebra layer (operators/sparql.py) over the materialized bucketed
+    graph table: per-entity mention stats over non-opening turns."""
+    from ..operators.graph import materialize_bucketed
+    from ..operators.sparql import sparql_select
+
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
+    return sparql_select(spark.table("kg_sparql_graph"), _SPARQL_SELECT)
+
+
+def kg_sparql_select_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    return sparql_sql(_SPARQL_SELECT, kg_triples_oracle_sql(n_conv))
+
+
+def kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT — graph-to-graph enrichment: lift turn-level
+    mention edges to conversation level and link entities to the tools
+    of the turns that mention them (unbound ?tool instantiations drop,
+    per SPARQL semantics). Output is a canonical subj/pred/obj triple
+    set, directly materializable back through operators/graph.py."""
+    from ..operators.graph import materialize_bucketed
+    from ..operators.sparql import sparql_select
+
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
+    return sparql_select(spark.table("kg_sparql_graph"), _SPARQL_CONSTRUCT)
+
+
+def kg_sparql_construct_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    return sparql_sql(_SPARQL_CONSTRUCT, kg_triples_oracle_sql(n_conv))
+
+
 def kg_turn_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path query pred+ over the graph: transitive closure of
     prevTurn with shortest hop distance — each turn reaches every earlier

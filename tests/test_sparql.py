@@ -1,0 +1,217 @@
+"""SPARQL text front-end (operators/sparql.py): parser shapes and
+errors, DataFrame execution semantics on a hand-built graph, and
+cross-engine equivalence of the DuckDB SQL twin for every construct."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from rdf_go_spark.operators.sparql import (
+    SparqlError, parse_sparql, sparql_select, sparql_sql,
+)
+
+_EDGES = [
+    ("<http://x/a>", "<http://x/knows>", "<http://x/b>"),
+    ("<http://x/b>", "<http://x/knows>", "<http://x/c>"),
+    ("<http://x/a>", "<http://x/likes>", "<http://x/d>"),
+    ("<http://x/b>", "<http://x/likes>", "<http://x/d>"),
+    ("<http://x/a>", "<http://x/age>",
+     '"3"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ("<http://x/b>", "<http://x/age>",
+     '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ("<http://x/c>", "<http://x/age>",
+     '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'),
+    ("<http://x/a>", "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>",
+     "<http://x/Person>"),
+    ("<http://x/d>", "<http://x/label>", '"dee"@en'),
+]
+
+
+@pytest.fixture(scope="module")
+def tiny(spark):
+    return spark.createDataFrame(_EDGES, ["subj", "pred", "obj"])
+
+
+def _tiny_cte() -> str:
+    rows = ", ".join(
+        "(" + ", ".join("'" + t.replace("'", "''") + "'" for t in e) + ")"
+        for e in _EDGES)
+    return f"SELECT * FROM (VALUES {rows}) t(subj, pred, obj)"
+
+
+def _both(tiny, query):
+    sp = sorted(
+        tuple(r) for r in sparql_select(tiny, query).collect())
+    du = sorted(
+        tuple(r) for r in
+        duckdb.sql(sparql_sql(query, _tiny_cte())).fetchall())
+    return sp, du
+
+
+class TestParser:
+    def test_prefix_expansion_and_lists(self):
+        q = parse_sparql("""
+            PREFIX x: <http://x/>
+            SELECT ?s ?o WHERE { ?s x:knows ?o ; x:likes ?d . }
+        """)
+        blk = q.blocks[0]
+        assert blk.patterns == [
+            ("?s", "<http://x/knows>", "?o"),
+            ("?s", "<http://x/likes>", "?d")]
+
+    def test_object_list_and_a(self):
+        q = parse_sparql(
+            "PREFIX x: <http://x/> "
+            "SELECT * WHERE { ?s a x:Person . ?s x:likes x:d, x:e }")
+        blk = q.blocks[0]
+        assert blk.patterns[0][1] == \
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
+        assert [p[2] for p in blk.patterns[1:]] == [
+            "<http://x/d>", "<http://x/e>"]
+
+    def test_integer_literal_canonicalizes(self):
+        q = parse_sparql(
+            "PREFIX x: <http://x/> SELECT ?s WHERE { ?s x:age 7 }")
+        assert q.blocks[0].patterns[0][2] == \
+            '"7"^^<http://www.w3.org/2001/XMLSchema#integer>'
+
+    def test_path_predicate(self):
+        q = parse_sparql(
+            "PREFIX x: <http://x/> "
+            "SELECT ?s ?o WHERE { ?s x:knows+/x:likes ?o }")
+        assert q.blocks[0].patterns[0][1] == \
+            "<http://x/knows>+/<http://x/likes>"
+
+    def test_modifiers(self):
+        q = parse_sparql("""
+            PREFIX x: <http://x/>
+            SELECT ?age (COUNT(*) AS ?n) WHERE { ?s x:age ?age }
+            GROUP BY ?age ORDER BY DESC(?n) ?age LIMIT 5
+        """)
+        assert q.group_by == ["age"] and q.limit == 5
+        assert q.order_by == [("n", False), ("age", True)]
+
+    @pytest.mark.parametrize("bad, msg", [
+        ("SELECT ?s WHERE { ?s <p>* ?o }", "unsupported"),
+        ("ASK WHERE { ?s ?p ?o }", "unexpected bare word"),
+        ("SELECT ?s WHERE { ?s y:p ?o }", "undeclared prefix"),
+        ("SELECT WHERE { ?s ?p ?o }", "empty SELECT"),
+        ("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }", "not valid"),
+        ("SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }",
+         "neither aggregated nor"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY",
+         "at least one"),
+        ("SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s", "without an aggregate"),
+        ("SELECT ?s WHERE { ?s ?p 1.5 }", "only integer"),
+        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s ~ 3) }", "unexpected"),
+        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s = ?o) }",
+         "variable-to-variable"),
+        ("CONSTRUCT { } WHERE { ?s ?p ?o }", "empty CONSTRUCT"),
+    ])
+    def test_rejects(self, bad, msg):
+        with pytest.raises(SparqlError, match=msg):
+            parse_sparql(bad)
+
+
+class TestExecution:
+    def test_basic_select_and_twin(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?o WHERE { ?s x:knows ?o }
+        """)
+        assert sp == du and len(sp) == 2
+
+    def test_star_distinct(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT DISTINCT * WHERE { ?s x:likes ?d }
+        """)
+        assert sp == du and len(sp) == 2
+
+    def test_filter_optional_minus_union(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?age ?lab WHERE {
+              { ?s x:age ?age .
+                OPTIONAL { ?s x:likes ?d . ?d x:label ?lab }
+                FILTER(?age >= 7)
+                MINUS { ?s x:knows <http://x/c> } }
+              UNION
+              { ?s a x:Person . ?s x:age ?age } }
+        """)
+        assert sp == du
+        # block1: b,c pass the filter; MINUS removes b (knows c) -> c
+        # with lab NULL (c likes nothing); block2: a (Person, age 3)
+        assert len(sp) == 2
+
+    def test_path_in_sparql(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?d WHERE { ?s x:knows+/x:likes ?d }
+        """)
+        assert sp == du
+        # a knows+ {b,c}; b likes d -> (a,d); b knows+ {c}; c likes
+        # nothing -> only (a,d)
+        assert sp == [("<http://x/a>", "<http://x/d>")]
+
+    def test_aggregates_group_order(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?age (COUNT(*) AS ?n) (MIN(?age2) AS ?m)
+            WHERE { ?s x:age ?age . ?s x:age ?age2 }
+            GROUP BY ?age ORDER BY ?age
+        """)
+        assert sp == du
+        assert [(r[1], r[2]) for r in sp] == [(1, 3), (2, 7)]
+
+    def test_global_aggregate(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT (COUNT(DISTINCT ?s) AS ?n) (SUM(?a) AS ?total)
+                   (AVG(?a) AS ?mean)
+            WHERE { ?s x:age ?a }
+        """)
+        assert sp == du == [(3, 17, pytest.approx(17 / 3, abs=1e-6))]
+
+    def test_order_limit(self, tiny):
+        sp = [tuple(r) for r in sparql_select(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?a WHERE { ?s x:age ?a } ORDER BY DESC(?a) ?s LIMIT 2
+        """).collect()]
+        du = duckdb.sql(sparql_sql("""
+            PREFIX x: <http://x/>
+            SELECT ?s ?a WHERE { ?s x:age ?a } ORDER BY DESC(?a) ?s LIMIT 2
+        """, _tiny_cte())).fetchall()
+        assert sp == [tuple(r) for r in du]
+        assert [r[0] for r in sp] == ["<http://x/b>", "<http://x/c>"]
+
+    def test_construct(self, tiny):
+        qtext = """
+            PREFIX x: <http://x/>
+            CONSTRUCT { ?o x:knownBy ?s . ?s a x:Knower }
+            WHERE { ?s x:knows ?o }
+        """
+        sp = sorted(tuple(r) for r in sparql_select(tiny, qtext).collect())
+        du = sorted(tuple(r) for r in
+                    duckdb.sql(sparql_sql(qtext, _tiny_cte())).fetchall())
+        assert sp == du and len(sp) == 4
+        assert ("<http://x/b>", "<http://x/knownBy>", "<http://x/a>") in sp
+
+    def test_construct_skips_unbound(self, tiny):
+        # ?lab unbound for most likers -> those instantiations drop
+        qtext = """
+            PREFIX x: <http://x/>
+            CONSTRUCT { ?s x:likesLabeled ?lab }
+            WHERE { ?s x:likes ?d . OPTIONAL { ?d x:missing ?lab } }
+        """
+        sp = sparql_select(tiny, qtext).collect()
+        du = duckdb.sql(sparql_sql(qtext, _tiny_cte())).fetchall()
+        assert len(sp) == len(du) == 0
+
+    def test_lang_literal_roundtrip(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?d WHERE { ?d x:label "dee"@en }
+        """)
+        assert sp == du == [("<http://x/d>",)]
