@@ -16,6 +16,8 @@ Supported subset (documented, rejected-with-error beyond it)::
     SELECT [DISTINCT] ?v ... | * |
            (COUNT(*) AS ?n) (COUNT|SUM|MIN|MAX|AVG([DISTINCT] ?v) AS ?a)
     CONSTRUCT { template triples }
+    ASK                                     (boolean existence)
+    DESCRIBE ?v ... <iri> ...               (subject-role description)
     WHERE {
       ?s <p> ?o .                           triple patterns, ; and , lists
       ?s pfx:p/pfx:q+ ?o .                  property paths (/ | ^ +)
@@ -50,9 +52,10 @@ RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 
 _KEYWORDS = {
-    "PREFIX", "SELECT", "CONSTRUCT", "DISTINCT", "WHERE", "OPTIONAL",
-    "FILTER", "MINUS", "UNION", "GROUP", "BY", "ORDER", "ASC", "DESC",
-    "LIMIT", "AS", "COUNT", "SUM", "MIN", "MAX", "AVG", "BOUND", "A",
+    "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
+    "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GROUP", "BY",
+    "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT", "SUM", "MIN", "MAX",
+    "AVG", "BOUND", "A",
 }
 _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
@@ -201,7 +204,7 @@ class _Proj:
 
 @dataclass
 class ParsedQuery:
-    form: str                          # "select" | "construct"
+    form: str                  # "select" | "construct" | "ask" | "describe"
     distinct: bool
     projection: List[_Proj]
     blocks: List[_Block]               # >1 means UNION
@@ -209,6 +212,7 @@ class ParsedQuery:
     order_by: List[Tuple[str, bool]]   # (var, ascending)
     limit: Optional[int]
     template: List[Tuple[str, str, str]]   # CONSTRUCT triples
+    describe: List[str] = field(default_factory=list)  # ?var / <iri>
 
 
 class _Parser:
@@ -515,28 +519,53 @@ class _Parser:
             self.prefixes[p.val[:-1]] = iri.val[1:-1]
 
         t = self.take()
-        if t.kind != "kw" or t.val not in ("SELECT", "CONSTRUCT"):
+        if t.kind != "kw" or t.val not in ("SELECT", "CONSTRUCT", "ASK",
+                                           "DESCRIBE"):
             raise SparqlError(
-                f"only SELECT/CONSTRUCT are supported, got {t.val!r}")
+                "only SELECT/CONSTRUCT/ASK/DESCRIBE are supported, got "
+                f"{t.val!r}")
         form = t.val.lower()
 
         distinct = False
         projection: List[_Proj] = []
         template: List[Tuple[str, str, str]] = []
+        describe: List[str] = []
         if form == "select":
             if self.at_kw("DISTINCT"):
                 self.take()
                 distinct = True
             projection = self._projection()
-        else:
+        elif form == "construct":
             self.expect_op("{")
             while not self.at_op("}"):
                 self._triples_into(template)
             self.take()
+        elif form == "describe":
+            while True:
+                t2 = self.peek()
+                if t2 is None:
+                    break
+                if t2.kind == "var":
+                    describe.append("?" + self.take().val)
+                elif t2.kind == "iri":
+                    describe.append(self.take().val)
+                elif t2.kind == "pname":
+                    describe.append(self._expand_pname(self.take().val))
+                else:
+                    break
+            if not describe:
+                raise SparqlError("DESCRIBE needs ?vars or IRIs")
 
+        has_where = self.at_kw("WHERE") or self.at_op("{")
         if self.at_kw("WHERE"):
             self.take()
-        blocks = self._where_blocks()
+        if has_where:
+            blocks = self._where_blocks()
+        elif form == "describe" and all(
+                not d.startswith("?") for d in describe):
+            blocks = []      # DESCRIBE <iri> needs no pattern match
+        else:
+            raise SparqlError("missing WHERE group")
 
         group_by: List[str] = []
         order_by: List[Tuple[str, bool]] = []
@@ -582,12 +611,17 @@ class _Parser:
 
         q = ParsedQuery(form=form, distinct=distinct, projection=projection,
                         blocks=blocks, group_by=group_by, order_by=order_by,
-                        limit=limit, template=template)
+                        limit=limit, template=template, describe=describe)
         _validate(q)
         return q
 
 
 def _validate(q: ParsedQuery) -> None:
+    if q.form in ("ask", "describe"):
+        if q.group_by or q.order_by or q.limit is not None:
+            raise SparqlError(
+                f"{q.form.upper()} does not take solution modifiers")
+        return
     has_agg = any(p.kind == "agg" for p in q.projection)
     if has_agg:
         for p in q.projection:
@@ -643,8 +677,37 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     q = parse_sparql(query)
     if len(q.blocks) == 1:
         sol = bgp_match(triples, **q.blocks[0].kwargs())
-    else:
+    elif q.blocks:
         sol = bgp_union(triples, [b.kwargs() for b in q.blocks])
+    else:
+        sol = None    # DESCRIBE <iri> without WHERE
+
+    if q.form == "ask":
+        # limit(1) first: existence needs one solution, not the count
+        return sol.limit(1).agg(
+            (F.count(F.lit(1)) > 0).alias("ask"))
+
+    if q.form == "describe":
+        base = triples.select("subj", "pred", "obj")
+        var_targets = [d[1:] for d in q.describe if d.startswith("?")]
+        consts = [d for d in q.describe if not d.startswith("?")]
+        parts = []
+        if var_targets:
+            nodes = None
+            for v in var_targets:
+                if v not in sol.columns:
+                    raise SparqlError(
+                        f"DESCRIBE variable ?{v} is not bound in WHERE")
+                nd = sol.select(F.col(v).alias("subj"))
+                nodes = nd if nodes is None else nodes.unionByName(nd)
+            nodes = nodes.filter(F.col("subj").isNotNull()).distinct()
+            parts.append(base.join(nodes, "subj", "left_semi"))
+        if consts:
+            parts.append(base.filter(F.col("subj").isin(consts)))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.distinct()    # description of a set of nodes is a graph
 
     if q.form == "construct":
         parts = []
@@ -721,9 +784,28 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
         inner = bgp_sql(b.patterns, base_cte, base_name=base_name,
                         optionals=b.optionals, filters=b.filters,
                         minus=b.minus)
-    else:
+    elif q.blocks:
         inner = bgp_union_sql([b.kwargs() for b in q.blocks], base_cte,
                               base_name=base_name)
+    else:
+        inner = None    # DESCRIBE <iri> without WHERE
+
+    if q.form == "ask":
+        return f"SELECT EXISTS (SELECT 1 FROM (\n{inner}\n) q) AS ask"
+
+    if q.form == "describe":
+        var_targets = [d[1:] for d in q.describe if d.startswith("?")]
+        consts = [d for d in q.describe if not d.startswith("?")]
+        conds = []
+        for v in var_targets:
+            conds.append(
+                f"subj IN (SELECT {v} FROM (\n{inner}\n) q)")
+        if consts:
+            in_list = ", ".join(
+                "'" + c.replace("'", "''") + "'" for c in consts)
+            conds.append(f"subj IN ({in_list})")
+        return (f"SELECT DISTINCT subj, pred, obj FROM (\n{base_cte}\n) b"
+                f"\nWHERE " + "\n   OR ".join(conds))
 
     if q.form == "construct":
         parts = []

@@ -422,6 +422,32 @@ def kg_sparql_construct_oracle_sql(n_conv: int) -> str:
     return sparql_sql(_SPARQL_CONSTRUCT, kg_triples_oracle_sql(n_conv))
 
 
+_SPARQL_DESCRIBE = """
+PREFIX v: <http://example.org/v/>
+PREFIX e: <http://example.org/e/>
+DESCRIBE ?c WHERE { ?c v:hasTurn ?t . ?t v:mentions e:0 }
+"""
+
+
+def kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL DESCRIBE — every triple about the conversations that
+    mention the hot entity (subject-role description, the scalable
+    semi-join shape): the match is a pattern query, the description a
+    left-semi join back into the graph table."""
+    from ..operators.graph import materialize_bucketed
+    from ..operators.sparql import sparql_select
+
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
+    return sparql_select(spark.table("kg_sparql_graph"), _SPARQL_DESCRIBE)
+
+
+def kg_sparql_describe_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    return sparql_sql(_SPARQL_DESCRIBE, kg_triples_oracle_sql(n_conv))
+
+
 def kg_turn_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Property-path query pred+ over the graph: transitive closure of
     prevTurn with shortest hop distance — each turn reaches every earlier

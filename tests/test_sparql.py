@@ -94,7 +94,10 @@ class TestParser:
 
     @pytest.mark.parametrize("bad, msg", [
         ("SELECT ?s WHERE { ?s <p>* ?o }", "unsupported"),
-        ("ASK WHERE { ?s ?p ?o }", "unexpected bare word"),
+        ("SELECT ?s WHERE { ?s ?p ?o } OFFSET 2", "unexpected bare word"),
+        ("ASK WHERE { ?s ?p ?o } LIMIT 1", "solution modifiers"),
+        ("DESCRIBE WHERE { ?s ?p ?o }", "needs .vars or IRIs"),
+        ("PREFIX x: <http://x/> DESCRIBE ?s", "missing WHERE"),
         ("SELECT ?s WHERE { ?s y:p ?o }", "undeclared prefix"),
         ("SELECT WHERE { ?s ?p ?o }", "empty SELECT"),
         ("SELECT (SUM(*) AS ?n) WHERE { ?s ?p ?o }", "not valid"),
@@ -208,6 +211,37 @@ class TestExecution:
         sp = sparql_select(tiny, qtext).collect()
         du = duckdb.sql(sparql_sql(qtext, _tiny_cte())).fetchall()
         assert len(sp) == len(du) == 0
+
+    def test_ask(self, tiny):
+        for qtext, expect in [
+            ("PREFIX x: <http://x/> ASK { ?s x:knows <http://x/c> }", True),
+            ("PREFIX x: <http://x/> ASK WHERE { ?s x:knows <http://x/z> }",
+             False),
+        ]:
+            sp = sparql_select(tiny, qtext).collect()
+            du = duckdb.sql(sparql_sql(qtext, _tiny_cte())).fetchall()
+            assert [bool(r[0]) for r in sp] == [bool(r[0]) for r in du] \
+                == [expect]
+
+    def test_describe_var(self, tiny):
+        qtext = """
+            PREFIX x: <http://x/>
+            DESCRIBE ?s WHERE { ?s x:age 7 }
+        """
+        sp = sorted(tuple(r) for r in sparql_select(tiny, qtext).collect())
+        du = sorted(tuple(r) for r in
+                    duckdb.sql(sparql_sql(qtext, _tiny_cte())).fetchall())
+        assert sp == du
+        # b and c are described: b has knows+likes+age, c has age
+        assert {r[0] for r in sp} == {"<http://x/b>", "<http://x/c>"}
+        assert len(sp) == 4
+
+    def test_describe_const_no_where(self, tiny):
+        qtext = "PREFIX x: <http://x/> DESCRIBE x:a <http://x/d>"
+        sp = sorted(tuple(r) for r in sparql_select(tiny, qtext).collect())
+        du = sorted(tuple(r) for r in
+                    duckdb.sql(sparql_sql(qtext, _tiny_cte())).fetchall())
+        assert sp == du and len(sp) == 5   # a: 4 triples, d: 1 label
 
     def test_lang_literal_roundtrip(self, tiny):
         sp, du = _both(tiny, """
