@@ -71,14 +71,22 @@ def _bind_positions(df: DataFrame, pat, positions) -> Tuple[DataFrame, List[str]
             list(rename.values()))
 
 
-def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str]) -> Tuple[DataFrame, List[str]]:
+def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str],
+                     graph: str = None) -> Tuple[DataFrame, List[str]]:
     if len(pat) != 3:
         raise ValueError(f"pattern {pat!r} is not a triple")
     s, p, o = pat
     if _is_path_pred(p):
+        if graph is not None:
+            raise ValueError(
+                "property paths inside GRAPH are not supported (a path "
+                "hop crossing graphs has no single ?g binding)")
         from .paths import path_pairs
         rel = path_pairs(base, p)
         return _bind_positions(rel, (s, o), ("src", "dst"))
+    if graph is not None:
+        return _bind_positions(base, (graph, s, p, o),
+                               ("graph",) + _POSITIONS)
     return _bind_positions(base, pat, _POSITIONS)
 
 
@@ -111,6 +119,7 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
               optionals: Sequence[Tuple[str, str, str]] = (),
               filters: Sequence[Tuple[str, str, object]] = (),
               minus: Sequence[Tuple[str, str, str]] = (),
+              graph: str = None,
               allow_cross: bool = False) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
     distinct variable, one row per binding (bag semantics — add
@@ -127,14 +136,28 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
     block matches with the same bindings on the variables the two blocks
     share (a left-anti join, the scalable negation shape). Like SPARQL,
     a minus block sharing NO variable removes nothing — rejected here as
-    a mistake unless the block is empty."""
+    a mistake unless the block is empty.
+
+    ``graph``: SPARQL-GRAPH-style quad matching — every pattern
+    (required, optional, and the minus block) additionally matches the
+    quads table's ``graph`` column against this term (``?g`` binds the
+    graph as a variable, joining all patterns on the SAME graph; a
+    constant restricts to one named graph)."""
     if not patterns:
         raise ValueError("empty BGP")
-    base = triples.select(*_POSITIONS)
+    if graph is not None and "graph" not in triples.columns:
+        raise ValueError("GRAPH pattern needs a quads table with a "
+                         "'graph' column")
+    cols = (("graph",) + _POSITIONS) if graph is not None else _POSITIONS
+    base = triples.select(*cols)
+    if graph is not None:
+        # GRAPH matches named graphs only — default-graph quads
+        # (graph NULL) are invisible inside a GRAPH block, per SPARQL
+        base = base.filter(F.col("graph").isNotNull())
     result: DataFrame = None
     bound: List[str] = []
     for idx, pat in enumerate(patterns):
-        df, varset = _compile_pattern(base, pat)
+        df, varset = _compile_pattern(base, pat, graph=graph)
         if result is None:
             result, bound = df, varset
             continue
@@ -146,7 +169,7 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
         result = result.join(df, on=on) if on else result.crossJoin(df)
         bound += [v for v in varset if v not in bound]
     for idx, pat in enumerate(optionals):
-        df, varset = _compile_pattern(base, pat)
+        df, varset = _compile_pattern(base, pat, graph=graph)
         on = [v for v in varset if v in bound]
         if not on:
             raise ValueError(
@@ -160,7 +183,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
             raise ValueError(f"FILTER references unbound variable ?{name}")
         result = result.filter(_filter_column(name, op, value))
     if minus:
-        mdf = bgp_match(triples, minus, allow_cross=allow_cross)
+        mdf = bgp_match(triples, minus, graph=graph,
+                        allow_cross=allow_cross)
         shared = [v for v in mdf.columns if v in bound]
         if not shared:
             raise ValueError(
@@ -213,7 +237,7 @@ def _filter_sql(var: str, op: str, value) -> str:
 
 
 def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
-                  minus=()) -> Tuple[str, List[str]]:
+                  minus=(), graph=None) -> Tuple[str, List[str]]:
     """SELECT body for a BGP block over an existing ``base_name`` CTE;
     returns (sql, bound variable names)."""
     selects: List[str] = []
@@ -225,12 +249,17 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
         alias = f"t{i}"
         s, p, o = pat
         if _is_path_pred(p):
+            if graph is not None:
+                raise ValueError(
+                    "property paths inside GRAPH are not supported")
             from .paths import _compile_sql, parse_path
             rel = f"{_compile_sql(parse_path(p), base_name)}"
             terms = [("src", s), ("dst", o)]
         else:
             rel = base_name
             terms = list(zip(_POSITIONS, pat))
+            if graph is not None:
+                terms.insert(0, ("graph", graph))
         conds = []
         for pos, term in terms:
             col = f"{alias}.{pos}"
@@ -243,6 +272,10 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
                     selects.append(f"{col} AS {var}")
             else:
                 conds.append(f"{col} = '" + term.replace("'", "''") + "'")
+        if graph is not None and _is_var(graph) and not _is_path_pred(p):
+            # named graphs only (the constant case is non-null by the
+            # equality itself)
+            conds.append(f"{alias}.graph IS NOT NULL")
         if i == 0:
             joins.append(f"{rel} {alias}")
             where.extend(conds)
@@ -263,7 +296,7 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
 
     outer_conds = [_filter_sql(v, op, val) for v, op, val in filters]
     if minus:
-        msql, mvars = _bgp_sql_body(minus, base_name)
+        msql, mvars = _bgp_sql_body(minus, base_name, graph=graph)
         shared = [v for v in mvars if v in bound]
         on = " AND ".join(f"mm.{v} = q.{v}" for v in shared)
         outer_conds.append(
@@ -278,7 +311,8 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
             base_cte: str, base_name: str = "base",
             optionals: Sequence[Tuple[str, str, str]] = (),
             filters: Sequence[Tuple[str, str, object]] = (),
-            minus: Sequence[Tuple[str, str, str]] = ()) -> str:
+            minus: Sequence[Tuple[str, str, str]] = (),
+            graph: str = None) -> str:
     """DuckDB twin of ``bgp_match``: the same BGP (with OPTIONAL /
     FILTER / MINUS / path predicates) as self-joins over a triples CTE —
     the oracle for driver BGP queries. Optional patterns become LEFT
@@ -286,7 +320,7 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
     NOT EXISTS on the shared variables; path predicates inline their
     compiled relation (operators/paths.py)."""
     body, _ = _bgp_sql_body(patterns, base_name, optionals=optionals,
-                            filters=filters, minus=minus)
+                            filters=filters, minus=minus, graph=graph)
     return f"WITH {base_name} AS ({base_cte})\n{body}"
 
 
@@ -298,7 +332,8 @@ def bgp_union_sql(blocks: Sequence[dict], base_cte: str,
         _bgp_sql_body(blk["patterns"], base_name,
                       optionals=blk.get("optionals", ()),
                       filters=blk.get("filters", ()),
-                      minus=blk.get("minus", ()))
+                      minus=blk.get("minus", ()),
+                      graph=blk.get("graph"))
         for blk in blocks
     ]
     all_vars: List[str] = []

@@ -25,6 +25,7 @@ Supported subset (documented, rejected-with-error beyond it)::
       OPTIONAL { ... }                      left join
       FILTER(?i > 3)  FILTER(bound(?x))     =, !=, <, <=, >, >=, [!]bound
       MINUS { ... }                         left-anti on shared vars
+      GRAPH ?g { ... }                      quad match (named graphs only)
     }
     { block } UNION { block }               at WHERE top level
     GROUP BY ?v ...   ORDER BY [ASC|DESC](?v) ...   LIMIT n
@@ -53,9 +54,9 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 
 _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
-    "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GROUP", "BY",
-    "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT", "SUM", "MIN", "MAX",
-    "AVG", "BOUND", "A",
+    "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "GROUP",
+    "BY", "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT", "SUM", "MIN",
+    "MAX", "AVG", "BOUND", "A",
 }
 _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
@@ -187,10 +188,12 @@ class _Block:
     optionals: List[Tuple[str, str, str]] = field(default_factory=list)
     filters: List[Tuple[str, str, object]] = field(default_factory=list)
     minus: List[Tuple[str, str, str]] = field(default_factory=list)
+    graph: Optional[str] = None        # GRAPH term for the whole block
 
     def kwargs(self) -> dict:
         return {"patterns": self.patterns, "optionals": self.optionals,
-                "filters": self.filters, "minus": self.minus}
+                "filters": self.filters, "minus": self.minus,
+                "graph": self.graph}
 
 
 @dataclass
@@ -398,9 +401,8 @@ class _Parser:
             blk.filters.append(("?" + v.val, op.val, value))
         self.expect_op(")")
 
-    def _group(self) -> _Block:
-        self.expect_op("{")
-        blk = _Block()
+    def _block_items(self, blk: _Block) -> None:
+        """Consume group items until the closing '}' (not taken)."""
         while not self.at_op("}"):
             if self.at_kw("OPTIONAL"):
                 self.take()
@@ -417,8 +419,41 @@ class _Parser:
             elif self.at_kw("FILTER"):
                 self.take()
                 self._filter(blk)
+            elif self.at_kw("GRAPH"):
+                self.take()
+                t = self.take()
+                if t.kind == "var":
+                    gterm = "?" + t.val
+                elif t.kind == "iri":
+                    gterm = t.val
+                elif t.kind == "pname":
+                    gterm = self._expand_pname(t.val)
+                else:
+                    raise SparqlError(
+                        f"GRAPH needs a ?var or IRI, got {t.val!r}")
+                if blk.graph is not None:
+                    raise SparqlError(
+                        "only one GRAPH clause per block is supported")
+                if blk.patterns:
+                    raise SparqlError(
+                        "mixing default-graph patterns and GRAPH in one "
+                        "block is not supported (split into UNION blocks)")
+                self.expect_op("{")
+                while not self.at_op("}"):
+                    self._triples_into(blk.patterns)
+                self.take()
+                blk.graph = gterm
             else:
+                if blk.graph is not None:
+                    raise SparqlError(
+                        "mixing default-graph patterns and GRAPH in one "
+                        "block is not supported (split into UNION blocks)")
                 self._triples_into(blk.patterns)
+
+    def _group(self) -> _Block:
+        self.expect_op("{")
+        blk = _Block()
+        self._block_items(blk)
         self.take()   # }
         return blk
 
@@ -434,26 +469,9 @@ class _Parser:
             if len(blocks) == 1:
                 return blocks
             return blocks
-        # plain block: re-parse as a group body
+        # plain block: same item grammar, no UNION
         blk = _Block()
-        while not self.at_op("}"):
-            if self.at_kw("OPTIONAL"):
-                self.take()
-                self.expect_op("{")
-                while not self.at_op("}"):
-                    self._triples_into(blk.optionals)
-                self.take()
-            elif self.at_kw("MINUS"):
-                self.take()
-                self.expect_op("{")
-                while not self.at_op("}"):
-                    self._triples_into(blk.minus)
-                self.take()
-            elif self.at_kw("FILTER"):
-                self.take()
-                self._filter(blk)
-            else:
-                self._triples_into(blk.patterns)
+        self._block_items(blk)
         self.take()
         return [blk]
 
@@ -783,7 +801,7 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
         b = q.blocks[0]
         inner = bgp_sql(b.patterns, base_cte, base_name=base_name,
                         optionals=b.optionals, filters=b.filters,
-                        minus=b.minus)
+                        minus=b.minus, graph=b.graph)
     elif q.blocks:
         inner = bgp_union_sql([b.kwargs() for b in q.blocks], base_cte,
                               base_name=base_name)

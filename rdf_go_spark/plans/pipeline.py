@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..operators.extraction import extract_triples
+from ..operators.extraction import CONV_NS, extract_triples
 from ..sources.transcripts import (
     entities_sql, n_conv_for_sf_dir, synth_entities, synth_transcripts,
     transcripts_sql,
@@ -446,6 +446,42 @@ def kg_sparql_describe_oracle_sql(n_conv: int) -> str:
     from ..operators.sparql import sparql_sql
 
     return sparql_sql(_SPARQL_DESCRIBE, kg_triples_oracle_sql(n_conv))
+
+
+_SPARQL_GRAPH_Q = """
+PREFIX v: <http://example.org/v/>
+SELECT ?g (COUNT(*) AS ?n_mentions) (COUNT(DISTINCT ?e) AS ?n_entities)
+WHERE { GRAPH ?g { ?t v:mentions ?e } }
+GROUP BY ?g
+"""
+
+
+def kg_graph_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL GRAPH (quad) query over provenance named graphs: each
+    conversation's triples are placed in the named graph <conv IRI> (the
+    standard per-source provenance layout), then mention counts
+    aggregate per graph through a GRAPH ?g block. Single pattern → the
+    quads are queried directly off the extraction (one scan); the graph
+    column rides the same partitioning as conv_id, so the GROUP BY ?g is
+    skew-free by construction."""
+    from pyspark.sql import functions as F
+
+    from ..operators.sparql import sparql_select
+
+    t = kg_triples(spark, sf_dir)
+    quads = t.withColumn(
+        "graph", F.concat(F.lit(f"<{CONV_NS}"), F.col("conv_id"),
+                          F.lit(">")))
+    return sparql_select(quads.select("graph", "subj", "pred", "obj"),
+                         _SPARQL_GRAPH_Q)
+
+
+def kg_graph_provenance_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    base = (f"SELECT '<{CONV_NS}' || conv_id || '>' AS graph, "
+            f"subj, pred, obj FROM ({kg_triples_oracle_sql(n_conv)}) kt")
+    return sparql_sql(_SPARQL_GRAPH_Q, base)
 
 
 def kg_turn_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -30,6 +30,9 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="graph table root")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--no-payload", action="store_true")
+    ap.add_argument("--query", default=None,
+                    help="SPARQL SELECT/CONSTRUCT/ASK/DESCRIBE string to "
+                         "run over the materialized graph after the write")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -57,6 +60,17 @@ def main() -> None:
     summary["seconds"] = round(dt, 2)
     summary["n_written_partitions"] = len(summary.pop("written"))
     summary["n_skipped_partitions"] = len(summary.pop("skipped"))
+
+    if args.query:
+        # query the WRITTEN table (partition-pruned columnar scan), not
+        # the live extraction plan — the deployment read path
+        from rdf_go_spark.operators.sparql import sparql_select
+        g = spark.read.parquet(f"{args.output}/data")
+        t0 = time.perf_counter()
+        res = sparql_select(g.select("subj", "pred", "obj"), args.query)
+        summary["query_rows"] = res.count()
+        summary["query_seconds"] = round(time.perf_counter() - t0, 2)
+
     print(json.dumps(summary))
     spark.stop()
 

@@ -243,6 +243,58 @@ class TestExecution:
                     duckdb.sql(sparql_sql(qtext, _tiny_cte())).fetchall())
         assert sp == du and len(sp) == 5   # a: 4 triples, d: 1 label
 
+    def test_graph_clause(self, spark):
+        quads = spark.createDataFrame(
+            [("<g1>", "<a>", "<p>", "<b>"),
+             ("<g1>", "<b>", "<p>", "<c>"),
+             ("<g2>", "<a>", "<p>", "<b>"),
+             (None, "<x>", "<p>", "<y>")],     # default graph: invisible
+            ["graph", "subj", "pred", "obj"])
+        rows = ", ".join(
+            "(" + ", ".join(
+                "NULL" if t is None else "'" + t + "'" for t in e) + ")"
+            for e in [("<g1>", "<a>", "<p>", "<b>"),
+                      ("<g1>", "<b>", "<p>", "<c>"),
+                      ("<g2>", "<a>", "<p>", "<b>"),
+                      (None, "<x>", "<p>", "<y>")])
+        cte = (f"SELECT * FROM (VALUES {rows}) "
+               f"t(graph, subj, pred, obj)")
+        qtext = """
+            SELECT ?g (COUNT(*) AS ?n)
+            WHERE { GRAPH ?g { ?s <p> ?o } } GROUP BY ?g
+        """
+        sp = sorted(tuple(r) for r in
+                    sparql_select(quads, qtext).collect())
+        du = sorted(tuple(r) for r in
+                    duckdb.sql(sparql_sql(qtext, cte)).fetchall())
+        assert sp == du == [("<g1>", 2), ("<g2>", 1)]
+        # constant graph restricts; same-graph join via shared ?g
+        qtext2 = "SELECT ?s ?o WHERE { GRAPH <g2> { ?s <p> ?o } }"
+        sp2 = [tuple(r) for r in sparql_select(quads, qtext2).collect()]
+        du2 = [tuple(r) for r in
+               duckdb.sql(sparql_sql(qtext2, cte)).fetchall()]
+        assert sp2 == du2 == [("<a>", "<b>")]
+        # two patterns inside GRAPH ?g must match in the SAME graph:
+        # a->b->c chains only within g1
+        qtext3 = ("SELECT ?g ?x ?z WHERE "
+                  "{ GRAPH ?g { ?x <p> ?y . ?y <p> ?z } }")
+        sp3 = [tuple(r) for r in sparql_select(quads, qtext3).collect()]
+        du3 = [tuple(r) for r in
+               duckdb.sql(sparql_sql(qtext3, cte)).fetchall()]
+        assert sp3 == du3 == [("<g1>", "<a>", "<c>")]
+
+    def test_graph_rejects(self, tiny):
+        with pytest.raises(SparqlError, match="mixing"):
+            parse_sparql("SELECT ?s WHERE { ?s <q> ?d . "
+                         "GRAPH ?g { ?s <p> ?o } }")
+        with pytest.raises(SparqlError, match="one GRAPH"):
+            parse_sparql("SELECT ?s WHERE { GRAPH ?g { ?s <p> ?o } "
+                         "GRAPH ?h { ?s <q> ?d } }")
+        # triples-only table lacks the graph column
+        with pytest.raises(ValueError, match="quads table"):
+            sparql_select(
+                tiny, "SELECT ?s WHERE { GRAPH ?g { ?s <p> ?o } }")
+
     def test_lang_literal_roundtrip(self, tiny):
         sp, du = _both(tiny, """
             PREFIX x: <http://x/>
