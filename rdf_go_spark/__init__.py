@@ -15,3 +15,12 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def sparql(triples, query: str):
+    """Run a SPARQL SELECT / CONSTRUCT / ASK / DESCRIBE string over a
+    triples or quads DataFrame (canonical ``subj``/``pred``/``obj``
+    [, ``graph``] columns). Lazy import so the pure-Python parser layer
+    stays importable without a JVM."""
+    from .operators.sparql import sparql_select
+    return sparql_select(triples, query)

@@ -38,7 +38,20 @@ from pyspark.sql import functions as F
 _POSITIONS = ("subj", "pred", "obj")
 
 _INT_LIT_RE = r'^"(-?\d+)"'  # canonical integer literal prefix
-_FILTER_OPS = ("=", "!=", "<", "<=", ">", ">=", "bound", "!bound")
+_LANG_RE = r'@([A-Za-z0-9-]+)$'       # language tag of a canonical literal
+_DT_RE = r'\^\^<([^>]*)>$'            # explicit datatype IRI
+_IRI_RE = r'^<(.*)>$'                 # IRI inner text (STR of an IRI)
+_LEX_RE = r'^"(.*)"'                  # lexical form (escaped) of a literal
+_FILTER_OPS = (
+    "=", "!=", "<", "<=", ">", ">=", "bound", "!bound",
+    # SPARQL built-ins over the canonical term string:
+    "lang=", "lang!=",                 # LANG(?x) =/!= "tag"
+    "dt=", "dt!=",                     # DATATYPE(?x) =/!= <iri>
+    "strstarts", "!strstarts",         # STRSTARTS(STR(?x), "s")
+    "strends", "!strends",
+    "contains", "!contains",
+    "in",                              # VALUES ?x { ... } lowered to IN
+)
 
 
 def _is_var(term: str) -> bool:
@@ -90,12 +103,24 @@ def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str],
     return _bind_positions(base, pat, _POSITIONS)
 
 
+def _str_column(col: "F.Column") -> "F.Column":
+    """SPARQL STR() over a canonical term string: IRI → inner text,
+    literal → (escaped) lexical form, bnode → '' (a type error that
+    makes every string predicate false, dropping the row)."""
+    return F.when(col.startswith("<"),
+                  F.regexp_extract(col, _IRI_RE, 1)) \
+            .otherwise(F.regexp_extract(col, _LEX_RE, 1))
+
+
 def _filter_column(var: str, op: str, value) -> "F.Column":
     """One FILTER condition as a Spark Column. int value → numeric
     compare on the integer extracted from the canonical
     ``"n"^^xsd:integer`` literal (non-integer terms extract to null and
     drop, as SPARQL type errors do); str value → canonical-term compare;
-    bound/!bound → null tests for OPTIONAL bindings."""
+    bound/!bound → null tests for OPTIONAL bindings; the built-in ops
+    (lang/dt/str*/contains/in) evaluate on the canonical term string —
+    LANG of an untagged term and DATATYPE of a plain literal extract to
+    '' (compare-false), and STR* operate on the escaped lexical form."""
     if op not in _FILTER_OPS:
         raise ValueError(f"unsupported FILTER op {op!r} (have {_FILTER_OPS})")
     col = F.col(var)
@@ -103,6 +128,26 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
         return col.isNotNull()
     if op == "!bound":
         return col.isNull()
+    if op == "in":
+        if not isinstance(value, (list, tuple)) or not value:
+            raise ValueError("IN/VALUES needs a non-empty list of terms")
+        return col.isin(list(value))
+    if op in ("lang=", "lang!="):
+        got = F.regexp_extract(col, _LANG_RE, 1)
+        return got == value if op == "lang=" else got != value
+    if op in ("dt=", "dt!="):
+        want = value[1:-1] if value.startswith("<") else value
+        got = F.regexp_extract(col, _DT_RE, 1)
+        return got == want if op == "dt=" else got != want
+    if op in ("strstarts", "!strstarts", "strends", "!strends",
+              "contains", "!contains"):
+        s = _str_column(col)
+        neg = op.startswith("!")
+        base = op.lstrip("!")
+        cond = {"strstarts": s.startswith(value),
+                "strends": s.endswith(value),
+                "contains": s.contains(value)}[base]
+        return ~cond if neg else cond
     if isinstance(value, bool) or not isinstance(value, (int, str)):
         raise ValueError(f"FILTER value must be int or str, got {value!r}")
     if isinstance(value, int):
@@ -222,18 +267,39 @@ def bgp_union(triples: DataFrame,
     return out
 
 
+def _sql_str(s) -> str:
+    return "'" + str(s).replace("'", "''") + "'"
+
+
 def _filter_sql(var: str, op: str, value) -> str:
     name = var[1:] if _is_var(var) else var
     if op == "bound":
         return f"{name} IS NOT NULL"
     if op == "!bound":
         return f"{name} IS NULL"
+    if op == "in":
+        return f"{name} IN ({', '.join(_sql_str(v) for v in value)})"
+    if op in ("lang=", "lang!="):
+        got = f"regexp_extract({name}, '{_LANG_RE}', 1)"
+        return f"{got} {'=' if op == 'lang=' else '<>'} {_sql_str(value)}"
+    if op in ("dt=", "dt!="):
+        want = value[1:-1] if value.startswith("<") else value
+        got = f"regexp_extract({name}, '{_DT_RE}', 1)"
+        return f"{got} {'=' if op == 'dt=' else '<>'} {_sql_str(want)}"
+    if op in ("strstarts", "!strstarts", "strends", "!strends",
+              "contains", "!contains"):
+        s = (f"CASE WHEN starts_with({name}, '<') "
+             f"THEN regexp_extract({name}, '{_IRI_RE}', 1) "
+             f"ELSE regexp_extract({name}, '{_LEX_RE}', 1) END")
+        fn = {"strstarts": "starts_with", "strends": "ends_with",
+              "contains": "contains"}[op.lstrip("!")]
+        cond = f"{fn}({s}, {_sql_str(value)})"
+        return f"NOT {cond}" if op.startswith("!") else cond
     if isinstance(value, int) and not isinstance(value, bool):
         lhs = (f"TRY_CAST(regexp_extract({name}, '{_INT_LIT_RE}', 1) "
                f"AS BIGINT)")
         return f"{lhs} {'<>' if op == '!=' else op} {value}"
-    esc = str(value).replace("'", "''")
-    return f"{name} {'<>' if op == '!=' else op} '{esc}'"
+    return f"{name} {'<>' if op == '!=' else op} {_sql_str(value)}"
 
 
 def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),

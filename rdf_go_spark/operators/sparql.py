@@ -24,6 +24,11 @@ Supported subset (documented, rejected-with-error beyond it)::
       ?s a ?type .                          'a' = rdf:type
       OPTIONAL { ... }                      left join
       FILTER(?i > 3)  FILTER(bound(?x))     =, !=, <, <=, >, >=, [!]bound
+      FILTER(LANG(?x) = "en")               lang-tag compare (=/!=)
+      FILTER(DATATYPE(?x) = xsd:integer)    datatype compare (=/!=)
+      FILTER([!]STRSTARTS(?x, "s"))         also STRENDS / CONTAINS,
+                                            over STR(?x) lexical/IRI text
+      VALUES ?x { <a> <b> "lit" }           single-var inline restriction
       MINUS { ... }                         left-anti on shared vars
       GRAPH ?g { ... }                      quad match (named graphs only)
     }
@@ -54,10 +59,13 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 
 _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
-    "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "GROUP",
-    "BY", "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT", "SUM", "MIN",
-    "MAX", "AVG", "BOUND", "A",
+    "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
+    "GROUP", "BY", "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT",
+    "SUM", "MIN", "MAX", "AVG", "BOUND", "LANG", "DATATYPE",
+    "STRSTARTS", "STRENDS", "CONTAINS", "A",
 }
+_STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
+              "CONTAINS": "contains"}
 _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
@@ -363,6 +371,24 @@ class _Parser:
         if self.at_op("."):
             self.take()
 
+    def _func_var_arg(self, what: str) -> str:
+        """'(' ?var ')' — the variable argument of a 1-ary builtin."""
+        self.expect_op("(")
+        v = self.take()
+        if v.kind != "var":
+            raise SparqlError(f"{what} takes a variable")
+        self.expect_op(")")
+        return "?" + v.val
+
+    def _plain_string(self, what: str) -> str:
+        t = self.take()
+        if t.kind != "literal" or not (t.val.startswith('"')
+                                       and t.val.endswith('"')):
+            raise SparqlError(f"{what} needs a plain string literal")
+        if self.at_op("^^"):
+            raise SparqlError(f"{what} needs a plain string literal")
+        return t.val[1:-1]
+
     def _filter(self, blk: _Block) -> None:
         self.expect_op("(")
         negated = False
@@ -371,16 +397,47 @@ class _Parser:
             negated = True
         if self.at_kw("BOUND"):
             self.take()
+            var = self._func_var_arg("bound()")
+            blk.filters.append(
+                (var, "!bound" if negated else "bound", None))
+        elif self.at_kw("LANG") or self.at_kw("DATATYPE"):
+            fn = self.take().val
+            var = self._func_var_arg(fn)
+            op = self.take()
+            if op.kind != "op" or op.val not in ("=", "!="):
+                raise SparqlError(f"{fn}() supports only = and !=")
+            if negated:
+                raise SparqlError(f"use {fn}(...) != instead of !{fn}")
+            neq = op.val == "!="
+            if fn == "LANG":
+                blk.filters.append(
+                    (var, "lang!=" if neq else "lang=",
+                     self._plain_string("LANG comparison")))
+            else:
+                t = self.take()
+                if t.kind == "iri":
+                    dt = t.val
+                elif t.kind == "pname":
+                    dt = self._expand_pname(t.val)
+                else:
+                    raise SparqlError("DATATYPE comparison needs an IRI")
+                blk.filters.append((var, "dt!=" if neq else "dt=", dt))
+        elif any(self.at_kw(k) for k in _STR_FUNCS):
+            fn = self.take().val
             self.expect_op("(")
             v = self.take()
             if v.kind != "var":
-                raise SparqlError("bound() takes a variable")
+                raise SparqlError(f"{fn} takes (?var, \"string\")")
+            self.expect_op(",")
+            arg = self._plain_string(fn)
             self.expect_op(")")
-            blk.filters.append(
-                ("?" + v.val, "!bound" if negated else "bound", None))
+            op = ("!" if negated else "") + _STR_FUNCS[fn]
+            blk.filters.append(("?" + v.val, op, arg))
         else:
             if negated:
-                raise SparqlError("'!' is only supported as !bound(...)")
+                raise SparqlError(
+                    "'!' is only supported before bound/STRSTARTS/"
+                    "STRENDS/CONTAINS")
             v = self.take()
             if v.kind != "var":
                 raise SparqlError("FILTER comparisons must start with a "
@@ -419,6 +476,26 @@ class _Parser:
             elif self.at_kw("FILTER"):
                 self.take()
                 self._filter(blk)
+            elif self.at_kw("VALUES"):
+                self.take()
+                if self.at_op("("):
+                    raise SparqlError(
+                        "multi-variable VALUES is not supported "
+                        "(single ?var only)")
+                v = self.take()
+                if v.kind != "var":
+                    raise SparqlError("VALUES needs a ?variable")
+                self.expect_op("{")
+                terms: List[str] = []
+                while not self.at_op("}"):
+                    terms.append(self._term(self.take(), "obj"))
+                self.take()
+                if not terms:
+                    raise SparqlError("empty VALUES block")
+                # lowered to an IN restriction on the bound variable
+                # (SPARQL's join-with-bindings, restricted to the case
+                # where the patterns bind the var)
+                blk.filters.append(("?" + v.val, "in", tuple(terms)))
             elif self.at_kw("GRAPH"):
                 self.take()
                 t = self.take()

@@ -448,6 +448,43 @@ def kg_sparql_describe_oracle_sql(n_conv: int) -> str:
     return sparql_sql(_SPARQL_DESCRIBE, kg_triples_oracle_sql(n_conv))
 
 
+_SPARQL_BUILTINS = """
+PREFIX v: <http://example.org/v/>
+PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+SELECT ?tool (COUNT(*) AS ?n_turns) (MAX(?i) AS ?max_idx)
+WHERE {
+  ?t v:tool ?tool ;
+     v:at ?at ;
+     v:index ?i .
+  VALUES ?tool { "search" "code" }
+  FILTER(DATATYPE(?at) = xsd:dateTime)
+  FILTER(CONTAINS(?tool, "e"))
+  FILTER(LANG(?tool) != "en")
+}
+GROUP BY ?tool
+"""
+
+
+def kg_sparql_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER built-ins end-to-end: VALUES inline restriction,
+    DATATYPE on the canonical dateTime literal, CONTAINS over the STR
+    lexical form, LANG on an untagged literal (extracts '' → the !=
+    keeps the row) — per-tool turn counts. All built-ins evaluate as
+    JVM column expressions over the canonical term strings; the DuckDB
+    twin uses the identical regex extractions."""
+    from ..operators.sparql import sparql_select
+
+    t = kg_triples(spark, sf_dir)
+    return sparql_select(t.select("subj", "pred", "obj"),
+                         _SPARQL_BUILTINS)
+
+
+def kg_sparql_builtins_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    return sparql_sql(_SPARQL_BUILTINS, kg_triples_oracle_sql(n_conv))
+
+
 _SPARQL_GRAPH_Q = """
 PREFIX v: <http://example.org/v/>
 SELECT ?g (COUNT(*) AS ?n_mentions) (COUNT(DISTINCT ?e) AS ?n_entities)

@@ -301,3 +301,80 @@ class TestExecution:
             SELECT ?d WHERE { ?d x:label "dee"@en }
         """)
         assert sp == du == [("<http://x/d>",)]
+
+    def test_filter_lang(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?d ?lab WHERE { ?d x:label ?lab .
+                                   FILTER(LANG(?lab) = "en") }
+        """)
+        assert sp == du == [("<http://x/d>", '"dee"@en')]
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?d WHERE { ?d x:label ?lab .
+                              FILTER(LANG(?lab) != "en") }
+        """)
+        assert sp2 == du2 == []
+
+    def test_filter_datatype(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+            SELECT ?s ?v WHERE { ?s ?p ?v .
+                                 FILTER(DATATYPE(?v) = xsd:integer) }
+        """)
+        assert sp == du and len(sp) == 3      # the three age literals
+
+    def test_filter_str_functions(self, tiny):
+        # STR of an IRI is its inner text
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?o WHERE { ?s x:knows ?o .
+                                 FILTER(STRSTARTS(?o, "http://x/c")) }
+        """)
+        assert sp == du == [("<http://x/b>", "<http://x/c>")]
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?d WHERE { ?d x:label ?lab .
+                              FILTER(CONTAINS(?lab, "de")) }
+        """)
+        assert sp2 == du2 == [("<http://x/d>",)]
+        sp3, du3 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE { ?s x:age ?a .
+                              FILTER(!STRENDS(?s, "/a")) }
+        """)
+        assert sp3 == du3 and {r[0] for r in sp3} == {
+            "<http://x/b>", "<http://x/c>"}
+
+    def test_values(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?a WHERE { ?s x:age ?a .
+                                 VALUES ?s { x:a x:c <http://x/nope> } }
+        """)
+        assert sp == du and {r[0] for r in sp} == {
+            "<http://x/a>", "<http://x/c>"}
+
+    @pytest.mark.parametrize("bad, msg", [
+        ("SELECT ?s WHERE { VALUES (?s ?o) { } ?s ?p ?o }",
+         "multi-variable"),
+        ("SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { } }", "empty VALUES"),
+        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(LANG(?o) = 3) }",
+         "plain string"),
+        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(!LANG(?o) = \"en\") }",
+         "instead of"),
+        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(DATATYPE(?o) = \"x\") }",
+         "needs an IRI"),
+        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(LANG(?o) < \"en\") }",
+         "only = and"),
+    ])
+    def test_builtin_rejects(self, bad, msg):
+        with pytest.raises(SparqlError, match=msg):
+            parse_sparql(bad)
+
+    def test_package_level_sparql(self, tiny):
+        import rdf_go_spark
+        out = rdf_go_spark.sparql(
+            tiny, "SELECT ?s WHERE { ?s <http://x/age> 3 }").collect()
+        assert [r.s for r in out] == ["<http://x/a>"]
