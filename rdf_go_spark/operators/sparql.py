@@ -33,7 +33,8 @@ Supported subset (documented, rejected-with-error beyond it)::
       GRAPH ?g { ... }                      quad match (named graphs only)
     }
     { block } UNION { block }               at WHERE top level
-    GROUP BY ?v ...   ORDER BY [ASC|DESC](?v) ...   LIMIT n
+    GROUP BY ?v ...   HAVING(COUNT(?x) > n | ?alias > n)
+    ORDER BY [ASC|DESC](?v) ...   LIMIT n
 
 Numeric positions (FILTER comparisons to an integer, SUM/MIN/MAX/AVG)
 operate on the canonical ``"n"^^xsd:integer`` literal form the pipeline
@@ -60,8 +61,8 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
     "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
-    "GROUP", "BY", "ORDER", "ASC", "DESC", "LIMIT", "AS", "COUNT",
-    "SUM", "MIN", "MAX", "AVG", "BOUND", "LANG", "DATATYPE",
+    "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "AS",
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "BOUND", "LANG", "DATATYPE",
     "STRSTARTS", "STRENDS", "CONTAINS", "A",
 }
 _STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
@@ -82,8 +83,15 @@ class _Tok:
     val: object
 
 
+_ASCII_DIGITS = "0123456789"
+_WORD_CHARS = ("abcdefghijklmnopqrstuvwxyz"
+               "ABCDEFGHIJKLMNOPQRSTUVWXYZ" + _ASCII_DIGITS + "_")
+
+
 def _is_pname_char(c: str) -> bool:
-    return c.isalnum() or c in "_-.:"
+    # pname locals / words stay ASCII (var names become engine-side
+    # identifiers; non-ASCII terms belong in <iri>/"literal" forms)
+    return c in _WORD_CHARS or c in "-.:"
 
 
 def _tokenize(q: str) -> List[_Tok]:
@@ -112,7 +120,7 @@ def _tokenize(q: str) -> List[_Tok]:
                 i += 1
         elif c in "?$":
             j = i + 1
-            while j < n and (q[j].isalnum() or q[j] == "_"):
+            while j < n and q[j] in _WORD_CHARS:
                 j += 1
             if j == i + 1:
                 raise SparqlError(f"empty variable name at offset {i}")
@@ -145,9 +153,10 @@ def _tokenize(q: str) -> List[_Tok]:
                 lex += q[i:j]
                 i = j
             toks.append(_Tok("literal", lex))
-        elif c.isdigit() or (c == "-" and i + 1 < n and q[i + 1].isdigit()):
+        elif c in _ASCII_DIGITS or (c == "-" and i + 1 < n
+                                    and q[i + 1] in _ASCII_DIGITS):
             j = i + 1
-            while j < n and q[j].isdigit():
+            while j < n and q[j] in _ASCII_DIGITS:
                 j += 1
             if j < n and q[j] in ".eE":
                 raise SparqlError(
@@ -164,7 +173,7 @@ def _tokenize(q: str) -> List[_Tok]:
         elif c in "{}.,;()*!=<>/|^+":
             toks.append(_Tok("op", c))
             i += 1
-        elif c.isalpha() or c == "_":
+        elif c in _WORD_CHARS and c not in _ASCII_DIGITS:
             j = i
             while j < n and _is_pname_char(q[j]):
                 j += 1
@@ -224,6 +233,8 @@ class ParsedQuery:
     limit: Optional[int]
     template: List[Tuple[str, str, str]]   # CONSTRUCT triples
     describe: List[str] = field(default_factory=list)  # ?var / <iri>
+    # HAVING constraints: (_Proj agg | alias str, cmp op, int)
+    having: List[Tuple[object, str, int]] = field(default_factory=list)
 
 
 class _Parser:
@@ -553,6 +564,30 @@ class _Parser:
         return [blk]
 
     # ---- projection
+    def _agg_call(self) -> _Proj:
+        """AGG '(' [DISTINCT] ?var|* ')' — shared by SELECT and HAVING."""
+        f_ = self.take()
+        if f_.kind != "kw" or f_.val not in _AGG_FUNCS:
+            raise SparqlError(
+                f"expected aggregate function, got {f_.val!r}")
+        self.expect_op("(")
+        distinct = False
+        if self.at_kw("DISTINCT"):
+            self.take()
+            distinct = True
+        arg = self.take()
+        if arg.kind == "op" and arg.val == "*":
+            if f_.val != "COUNT":
+                raise SparqlError(f"{f_.val}(*) is not valid")
+            var = None
+        elif arg.kind == "var":
+            var = arg.val
+        else:
+            raise SparqlError(
+                f"aggregate argument must be ?var or *, got {arg.val!r}")
+        self.expect_op(")")
+        return _Proj("agg", var=var, func=f_.val, distinct=distinct)
+
     def _projection(self) -> List[_Proj]:
         projs: List[_Proj] = []
         while True:
@@ -567,34 +602,14 @@ class _Parser:
                 projs.append(_Proj("var", var=t.val))
             elif t.kind == "op" and t.val == "(":
                 self.take()
-                f_ = self.take()
-                if f_.kind != "kw" or f_.val not in _AGG_FUNCS:
-                    raise SparqlError(
-                        f"expected aggregate function, got {f_.val!r}")
-                self.expect_op("(")
-                distinct = False
-                if self.at_kw("DISTINCT"):
-                    self.take()
-                    distinct = True
-                arg = self.take()
-                if arg.kind == "op" and arg.val == "*":
-                    if f_.val != "COUNT":
-                        raise SparqlError(f"{f_.val}(*) is not valid")
-                    var = None
-                elif arg.kind == "var":
-                    var = arg.val
-                else:
-                    raise SparqlError(
-                        f"aggregate argument must be ?var or *, got "
-                        f"{arg.val!r}")
-                self.expect_op(")")
+                p = self._agg_call()
                 self.expect_kw("AS")
                 alias = self.take()
                 if alias.kind != "var":
                     raise SparqlError("AS must bind a ?variable")
                 self.expect_op(")")
-                projs.append(_Proj("agg", var=var, func=f_.val,
-                                   distinct=distinct, alias=alias.val))
+                p.alias = alias.val
+                projs.append(p)
             else:
                 break
         if not projs:
@@ -664,9 +679,27 @@ class _Parser:
 
         group_by: List[str] = []
         order_by: List[Tuple[str, bool]] = []
+        having: List[Tuple[object, str, int]] = []
         limit: Optional[int] = None
         while self.peek() is not None:
-            if self.at_kw("GROUP"):
+            if self.at_kw("HAVING"):
+                self.take()
+                self.expect_op("(")
+                t2 = self.peek()
+                if t2 is not None and t2.kind == "var":
+                    lhs: object = self.take().val   # SELECT alias ref
+                else:
+                    lhs = self._agg_call()
+                op = self.take()
+                if op.kind != "op" or op.val not in _CMP_OPS:
+                    raise SparqlError(
+                        f"unsupported HAVING operator {op.val!r}")
+                v = self.take()
+                if v.kind != "int":
+                    raise SparqlError("HAVING compares to an integer")
+                self.expect_op(")")
+                having.append((lhs, op.val, v.val))
+            elif self.at_kw("GROUP"):
                 self.take()
                 self.expect_kw("BY")
                 while self.peek() is not None and self.peek().kind == "var":
@@ -706,18 +739,27 @@ class _Parser:
 
         q = ParsedQuery(form=form, distinct=distinct, projection=projection,
                         blocks=blocks, group_by=group_by, order_by=order_by,
-                        limit=limit, template=template, describe=describe)
+                        limit=limit, template=template, describe=describe,
+                        having=having)
         _validate(q)
         return q
 
 
 def _validate(q: ParsedQuery) -> None:
     if q.form in ("ask", "describe"):
-        if q.group_by or q.order_by or q.limit is not None:
+        if q.group_by or q.order_by or q.having or q.limit is not None:
             raise SparqlError(
                 f"{q.form.upper()} does not take solution modifiers")
         return
     has_agg = any(p.kind == "agg" for p in q.projection)
+    if q.having:
+        if not has_agg:
+            raise SparqlError("HAVING requires an aggregate SELECT")
+        aliases = {p.alias for p in q.projection if p.kind == "agg"}
+        for h, _, _ in q.having:
+            if isinstance(h, str) and h not in aliases:
+                raise SparqlError(
+                    f"HAVING references unknown alias ?{h}")
     if has_agg:
         for p in q.projection:
             if p.kind == "star":
@@ -828,8 +870,22 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     has_agg = any(p.kind == "agg" for p in q.projection)
     if has_agg:
         aggs = [_agg_column(p) for p in q.projection if p.kind == "agg"]
+        # HAVING aggregates not in SELECT ride along as hidden columns
+        conds = []
+        for idx, (h, op, val) in enumerate(q.having):
+            if isinstance(h, str):
+                conds.append((h, op, val))
+            else:
+                h.alias = f"_having_{idx}"
+                aggs.append(_agg_column(h))
+                conds.append((h.alias, op, val))
         sol = (sol.groupBy(*q.group_by).agg(*aggs) if q.group_by
                else sol.agg(*aggs))
+        for name, op, val in conds:
+            c = F.col(name)
+            sol = sol.filter(
+                {"=": c == val, "!=": c != val, "<": c < val,
+                 "<=": c <= val, ">": c > val, ">=": c >= val}[op])
         names = [p.var if p.kind == "var" else p.alias
                  for p in q.projection]
         sol = sol.select(*names)
@@ -854,7 +910,7 @@ def _int_sql(name: str) -> str:
             f"AS BIGINT)")
 
 
-def _agg_sql(p: _Proj) -> str:
+def _agg_sql_expr(p: _Proj) -> str:
     if p.func == "COUNT":
         if p.var is None:
             inner = "count(*)"
@@ -862,12 +918,15 @@ def _agg_sql(p: _Proj) -> str:
             inner = f"count(DISTINCT {p.var})"
         else:
             inner = f"count({p.var})"
-        return f"{inner}::BIGINT AS {p.alias}"
+        return f"{inner}::BIGINT"
     expr = _int_sql(p.var)
-    fn = p.func.lower()
     if p.func == "AVG":
-        return f"round(avg({expr}), 6) AS {p.alias}"
-    return f"{fn}({expr})::BIGINT AS {p.alias}"
+        return f"round(avg({expr}), 6)"
+    return f"{p.func.lower()}({expr})::BIGINT"
+
+
+def _agg_sql(p: _Proj) -> str:
+    return f"{_agg_sql_expr(p)} AS {p.alias}"
 
 
 def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
@@ -928,6 +987,15 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
         sql = (f"SELECT {', '.join(cols)} FROM (\n{inner}\n) q")
         if q.group_by:
             sql += "\nGROUP BY " + ", ".join(q.group_by)
+        if q.having:
+            alias_expr = {p.alias: _agg_sql_expr(p)
+                          for p in q.projection if p.kind == "agg"}
+            hconds = []
+            for h, op, val in q.having:
+                expr = alias_expr[h] if isinstance(h, str) \
+                    else _agg_sql_expr(h)
+                hconds.append(f"{expr} {'<>' if op == '!=' else op} {val}")
+            sql += "\nHAVING " + " AND ".join(hconds)
     else:
         if any(p.kind == "star" for p in q.projection):
             cols = ["*"]

@@ -139,3 +139,33 @@ def test_fuzz_mp4_with_valid_prefix(tail):
     b = bytes.fromhex("0000001066747970") + b"isom\x00\x00\x02\x00" + tail
     out = _decode_mp4(b)
     assert out is None or isinstance(out, tuple)
+
+
+SPARQLISH = st.text(
+    alphabet=st.sampled_from(list(
+        "SELECTWHERFILTANGOUPBYMINUSVALGRAPHDESCRIBEASK"
+        "?<>\"'@._:;,(){}[]|^+*!=  \t\nabcdevx0123456789#")),
+    max_size=300)
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT | SPARQLISH)
+def test_fuzz_sparql_parser(s):
+    """The SPARQL parser must reject arbitrary input with SparqlError
+    only — no crashes, no foreign exceptions (the paths/query layers
+    raise ValueError subclasses by contract)."""
+    from rdf_go_spark.operators.sparql import SparqlError, parse_sparql
+    try:
+        parse_sparql(s)
+    except SparqlError:
+        pass
+
+
+@settings(max_examples=200, deadline=None)
+@given(TEXT | SPARQLISH)
+def test_fuzz_path_parser(s):
+    from rdf_go_spark.operators.paths import parse_path
+    try:
+        parse_path(s)
+    except ValueError:
+        pass

@@ -373,6 +373,34 @@ class TestExecution:
         with pytest.raises(SparqlError, match=msg):
             parse_sparql(bad)
 
+    def test_having(self, tiny):
+        # ages 3, 7, 7 -> HAVING count > 1 keeps only age 7
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?a (COUNT(*) AS ?n) WHERE { ?s x:age ?a }
+            GROUP BY ?a HAVING(COUNT(*) > 1)
+        """)
+        assert sp == du and len(sp) == 1 and sp[0][1] == 2
+        # alias form, plus a HAVING aggregate absent from SELECT
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?a (COUNT(*) AS ?n) WHERE { ?s x:age ?a }
+            GROUP BY ?a HAVING(?n <= 1) HAVING(COUNT(DISTINCT ?s) >= 1)
+        """)
+        assert sp2 == du2 and len(sp2) == 1 and sp2[0][1] == 1
+
+    @pytest.mark.parametrize("bad, msg", [
+        ("SELECT ?s WHERE { ?s ?p ?o } HAVING(COUNT(*) > 1)",
+         "requires an aggregate"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING(?m > 1)",
+         "unknown alias"),
+        ("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING(?n > \"x\")",
+         "compares to an integer"),
+    ])
+    def test_having_rejects(self, bad, msg):
+        with pytest.raises(SparqlError, match=msg):
+            parse_sparql(bad)
+
     def test_package_level_sparql(self, tiny):
         import rdf_go_spark
         out = rdf_go_spark.sparql(
