@@ -154,6 +154,86 @@ def materialize(triples: DataFrame, root: str,
             "total_rows": int(sum(r["n_rows"] for r in metrics_rows))}
 
 
+def incremental_update(triples: DataFrame, root: str,
+                       n_partitions: int = N_GRAPH_PARTITIONS) -> Dict:
+    """Incremental graph MAINTENANCE (the Iceberg-MERGE analogue to
+    ``materialize``'s append-only resume): after the source corpus
+    changes — new conversations arrive, old ones are edited or deleted —
+    bring the committed graph table up to date by rewriting ONLY the
+    partitions whose content actually changed.
+
+    Protocol (two jobs, both bounded):
+    1. a metrics pass ``groupBy(part_id)`` reduces the fresh extraction
+       to ≤ n_partitions rows (count / approx subjects / the same
+       order-independent crc32-sum checksum ``materialize`` commits to
+       lineage) — the ONLY driver-side data is that tiny table;
+    2. partitions whose checksum differs from (or is absent in) the
+       committed lineage are rewritten with dynamic partition overwrite
+       and re-committed atomically; unchanged partitions cost ZERO write
+       IO; partitions that vanished from the source are deleted along
+       with their lineage record.
+
+    At 100 TB the scan in step 1 is the floor for any change detection,
+    and the rewrite in step 2 is proportional to the CHANGED data, not
+    the corpus — the same asymmetry Iceberg's snapshot diffing buys.
+    Rerunning after success is a no-op (idempotent, like materialize)."""
+    import shutil
+
+    spark = triples.sparkSession
+    os.makedirs(_lineage_dir(root), exist_ok=True)
+    df = with_partition_id(triples, n_partitions)
+    crc = F.crc32(F.concat_ws("\x01", "subj", "pred", "obj"))
+    stats = {
+        r["part_id"]: r
+        for r in (df.groupBy("part_id").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.approx_count_distinct("subj").alias("n_subjects"),
+            F.sum(crc).alias("checksum")).collect())
+    }
+    prev = {r["part_id"]: r for r in lineage_records(root)}
+    changed = sorted(
+        k for k, r in stats.items()
+        if k not in prev or prev[k]["content_checksum"] != r["checksum"])
+    unchanged = sorted(k for k in stats if k not in changed)
+    removed = sorted(k for k in prev if k not in stats)
+
+    if changed:
+        prev_mode = spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (df.filter(F.col("part_id").isin(changed))
+             .write.mode("overwrite")
+             .partitionBy("part_id")
+             .parquet(os.path.join(root, "data")))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev_mode)
+    stamp = time.time()
+    for k in changed:
+        r = stats[k]
+        rec = {"part_id": k, "n_rows": int(r["n_rows"]),
+               "n_subjects_approx": int(r["n_subjects"]),
+               "content_checksum": int(r["checksum"]),
+               "committed_at": stamp}
+        tmp = os.path.join(_lineage_dir(root), f".part-{k}.json.tmp")
+        final = os.path.join(_lineage_dir(root), f"part-{k}.json")
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, final)
+    for k in removed:
+        shutil.rmtree(os.path.join(root, "data", f"part_id={k}"),
+                      ignore_errors=True)
+        try:
+            os.remove(os.path.join(_lineage_dir(root), f"part-{k}.json"))
+        except FileNotFoundError:
+            pass
+    return {"written": changed, "unchanged": unchanged,
+            "removed": removed,
+            "total_rows": int(sum(stats[k]["n_rows"] for k in changed))}
+
+
 def _drop_managed_table(spark: SparkSession, table: str) -> None:
     """DROP TABLE IF EXISTS plus stale-location cleanup: the in-memory
     catalog forgets managed tables between sessions while their warehouse

@@ -33,6 +33,10 @@ def main() -> None:
     ap.add_argument("--query", default=None,
                     help="SPARQL SELECT/CONSTRUCT/ASK/DESCRIBE string to "
                          "run over the materialized graph after the write")
+    ap.add_argument("--incremental", action="store_true",
+                    help="checksum-diff maintenance of an existing graph: "
+                         "rewrite only partitions whose content changed "
+                         "(graph.incremental_update)")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -54,12 +58,19 @@ def main() -> None:
     t0 = time.perf_counter()
     triples = extract_triples(transcripts, entities,
                               include_payload=not args.no_payload)
-    summary = graph.materialize(triples, args.output,
-                                n_partitions=args.partitions)
+    if args.incremental:
+        summary = graph.incremental_update(triples, args.output,
+                                           n_partitions=args.partitions)
+        summary["n_unchanged_partitions"] = len(summary.pop("unchanged"))
+        summary["n_removed_partitions"] = len(summary.pop("removed"))
+        summary["n_skipped_partitions"] = 0
+    else:
+        summary = graph.materialize(triples, args.output,
+                                    n_partitions=args.partitions)
+        summary["n_skipped_partitions"] = len(summary.pop("skipped"))
     dt = time.perf_counter() - t0
     summary["seconds"] = round(dt, 2)
     summary["n_written_partitions"] = len(summary.pop("written"))
-    summary["n_skipped_partitions"] = len(summary.pop("skipped"))
 
     if args.query:
         # query the WRITTEN table (partition-pruned columnar scan), not

@@ -214,3 +214,67 @@ class TestBucketedJoins:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
             for t in ("graph_census_test_by_subj", "graph_census_test_by_obj"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+class TestIncrementalUpdate:
+    """incremental_update: checksum-diff maintenance — only partitions
+    whose content changed are rewritten (the Iceberg-MERGE analogue)."""
+
+    def _transcripts(self, spark, n):
+        from rdf_go_spark.sources.transcripts import (
+            synth_entities, synth_transcripts,
+        )
+        from rdf_go_spark.operators.extraction import extract_triples
+        return extract_triples(synth_transcripts(spark, n),
+                               synth_entities(spark))
+
+    def test_noop_when_unchanged(self, spark, triples, tmp_path):
+        from rdf_go_spark.operators import graph
+        root = str(tmp_path / "g")
+        graph.materialize(triples, root, n_partitions=8)
+        s = graph.incremental_update(triples, root, n_partitions=8)
+        assert s["written"] == [] and s["removed"] == []
+        assert len(s["unchanged"]) == 8
+
+    def test_grown_corpus_rewrites_only_touched_partitions(
+            self, spark, tmp_path):
+        from rdf_go_spark.operators import graph
+        root = str(tmp_path / "g")
+        old = self._transcripts(spark, 40)
+        graph.materialize(old, root, n_partitions=8)
+        new = self._transcripts(spark, 50)   # 10 extra conversations
+        # expected: partitions owning at least one NEW conv change
+        from rdf_go_spark.operators.graph import with_partition_id
+        newparts = {
+            r.part_id for r in with_partition_id(
+                new.exceptAll(old), 8).select("part_id").distinct()
+            .collect()}
+        s = graph.incremental_update(new, root, n_partitions=8)
+        assert set(s["written"]) == newparts
+        assert set(s["unchanged"]) == set(range(8)) - newparts
+        # table now equals a full rebuild
+        back = graph.read_graph(spark, root).drop("part_id")
+        assert back.exceptAll(new).count() == 0
+        assert new.exceptAll(back).count() == 0
+        # and a second run is a no-op
+        s2 = graph.incremental_update(new, root, n_partitions=8)
+        assert s2["written"] == []
+
+    def test_shrunk_corpus_changes_and_removes(self, spark, tmp_path):
+        from rdf_go_spark.operators import graph
+        root = str(tmp_path / "g")
+        big = self._transcripts(spark, 40)
+        graph.materialize(big, root, n_partitions=64)
+        # at 64 partitions over 40 convs some partitions own exactly
+        # one conversation; shrinking to 8 convs empties several
+        small = self._transcripts(spark, 8)
+        s = graph.incremental_update(small, root, n_partitions=64)
+        assert s["removed"]                    # emptied partitions went away
+        back = graph.read_graph(spark, root).drop("part_id")
+        assert back.exceptAll(small).count() == 0
+        assert small.exceptAll(back).count() == 0
+        # lineage matches the surviving table exactly
+        recs = {r["part_id"] for r in graph.lineage_records(root)}
+        live = {r.part_id for r in graph.read_graph(spark, root)
+                .select("part_id").distinct().collect()}
+        assert recs == live
