@@ -471,11 +471,18 @@ def kg_sparql_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexical form, LANG on an untagged literal (extracts '' → the !=
     keeps the row) — per-tool turn counts. All built-ins evaluate as
     JVM column expressions over the canonical term strings; the DuckDB
-    twin uses the identical regex extractions."""
+    twin uses the identical regex extractions.
+
+    Multi-pattern → materialize-once-then-match (the kg_bgp_match
+    lesson: constant pred filters cannot prune the extraction's
+    data-dependent union branches, so each pattern would otherwise
+    re-run the Python payload parse)."""
+    from ..operators.graph import materialize_bucketed
     from ..operators.sparql import sparql_select
 
-    t = kg_triples(spark, sf_dir)
-    return sparql_select(t.select("subj", "pred", "obj"),
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
+    return sparql_select(spark.table("kg_sparql_graph"),
                          _SPARQL_BUILTINS)
 
 
