@@ -242,6 +242,28 @@ GROUP BY 1, 2
 """.strip()
 
 
+_QUERY_GRAPH_CACHE: dict = {}
+
+
+def _query_graph(spark: SparkSession, sf_dir: str,
+                 table: str = "kg_query_graph", n_buckets: int = 8):
+    """The bucketed graph table shared by every query-layer driver query:
+    built ONCE per (sf_dir, buckets) per session — the driver executes
+    many queries in one session, and without this cache each would
+    re-run the identical extraction + bucketed write (the build is a
+    one-time production cost; bench.py times build and query separately
+    on its own table)."""
+    key = (sf_dir, n_buckets)
+    if (_QUERY_GRAPH_CACHE.get(table) == key
+            and spark.catalog.tableExists(table)):
+        return spark.table(table)
+    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
+    from ..operators.graph import materialize_bucketed
+    materialize_bucketed(t, table, n_buckets=n_buckets)
+    _QUERY_GRAPH_CACHE[table] = key
+    return spark.table(table)
+
+
 _BGP_PATTERNS = [
     ("?c", "<http://example.org/v/hasTurn>", "?t"),
     ("?t", "<http://example.org/v/role>", '"user"'),
@@ -268,12 +290,9 @@ def kg_bgp_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of re-parsing the corpus k times. Bucketing on subj keeps the
     subject-keyed pattern joins (?t as subject in 3 of the 4 patterns
     here) exchange-free on that side."""
-    from ..operators.graph import materialize_bucketed
     from ..operators.query import bgp_match
 
-    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
-    materialize_bucketed(t, "kg_bgp_graph", n_buckets=8)
-    return bgp_match(spark.table("kg_bgp_graph"), _BGP_PATTERNS,
+    return bgp_match(_query_graph(spark, sf_dir), _BGP_PATTERNS,
                      optionals=_BGP_OPTIONALS)
 
 
@@ -303,12 +322,9 @@ def kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     the extraction."""
     from pyspark.sql import functions as F
 
-    from ..operators.graph import materialize_bucketed
     from ..operators.paths import path_pairs
 
-    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
-    materialize_bucketed(t, "kg_path_graph", n_buckets=8)
-    return (path_pairs(spark.table("kg_path_graph"), _PATH_EXPR)
+    return (path_pairs(_query_graph(spark, sf_dir), _PATH_EXPR)
             .select(F.col("src").alias("conv"), F.col("dst").alias("val")))
 
 
@@ -345,12 +361,9 @@ def kg_bgp_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     variable), the other a FILTER only; results align on the union of
     the blocks' variables with NULL padding (operators/query.py).
     Same materialize-once-then-match shape as kg_bgp_match."""
-    from ..operators.graph import materialize_bucketed
     from ..operators.query import bgp_union
 
-    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
-    materialize_bucketed(t, "kg_alg_graph", n_buckets=8)
-    return bgp_union(spark.table("kg_alg_graph"), _ALG_BLOCKS)
+    return bgp_union(_query_graph(spark, sf_dir), _ALG_BLOCKS)
 
 
 def kg_bgp_algebra_oracle_sql(n_conv: int) -> str:
@@ -388,12 +401,9 @@ def kg_sparql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     FILTER, GROUP BY with COUNT/MIN/MAX — parsed and executed through the
     algebra layer (operators/sparql.py) over the materialized bucketed
     graph table: per-entity mention stats over non-opening turns."""
-    from ..operators.graph import materialize_bucketed
     from ..operators.sparql import sparql_select
 
-    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
-    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
-    return sparql_select(spark.table("kg_sparql_graph"), _SPARQL_SELECT)
+    return sparql_select(_query_graph(spark, sf_dir), _SPARQL_SELECT)
 
 
 def kg_sparql_select_oracle_sql(n_conv: int) -> str:
@@ -408,12 +418,9 @@ def kg_sparql_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the turns that mention them (unbound ?tool instantiations drop,
     per SPARQL semantics). Output is a canonical subj/pred/obj triple
     set, directly materializable back through operators/graph.py."""
-    from ..operators.graph import materialize_bucketed
     from ..operators.sparql import sparql_select
 
-    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
-    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
-    return sparql_select(spark.table("kg_sparql_graph"), _SPARQL_CONSTRUCT)
+    return sparql_select(_query_graph(spark, sf_dir), _SPARQL_CONSTRUCT)
 
 
 def kg_sparql_construct_oracle_sql(n_conv: int) -> str:
@@ -434,12 +441,9 @@ def kg_sparql_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
     mention the hot entity (subject-role description, the scalable
     semi-join shape): the match is a pattern query, the description a
     left-semi join back into the graph table."""
-    from ..operators.graph import materialize_bucketed
     from ..operators.sparql import sparql_select
 
-    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
-    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
-    return sparql_select(spark.table("kg_sparql_graph"), _SPARQL_DESCRIBE)
+    return sparql_select(_query_graph(spark, sf_dir), _SPARQL_DESCRIBE)
 
 
 def kg_sparql_describe_oracle_sql(n_conv: int) -> str:
@@ -477,13 +481,9 @@ def kg_sparql_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
     lesson: constant pred filters cannot prune the extraction's
     data-dependent union branches, so each pattern would otherwise
     re-run the Python payload parse)."""
-    from ..operators.graph import materialize_bucketed
     from ..operators.sparql import sparql_select
 
-    t = kg_triples(spark, sf_dir).select("subj", "pred", "obj")
-    materialize_bucketed(t, "kg_sparql_graph", n_buckets=8)
-    return sparql_select(spark.table("kg_sparql_graph"),
-                         _SPARQL_BUILTINS)
+    return sparql_select(_query_graph(spark, sf_dir), _SPARQL_BUILTINS)
 
 
 def kg_sparql_builtins_oracle_sql(n_conv: int) -> str:
