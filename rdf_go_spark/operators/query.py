@@ -160,6 +160,42 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
             "<=": col <= value, ">": col > value, ">=": col >= value}[op]
 
 
+def _order_patterns(patterns: Sequence[Tuple[str, str, str]]) -> list:
+    """Greedy selectivity ordering of the required block: start from the
+    pattern with the most constants, then repeatedly take the most
+    constant pattern CONNECTED (shares a variable) to what's already
+    joined. Inner joins commute, so this changes only the join order —
+    never the result — but without CBO statistics Catalyst keeps the
+    written order, and joining the most selective pattern first is the
+    difference between an early small intermediate and carrying the
+    biggest pattern's rows through every join at 100 TB. Disconnected
+    leftovers keep their relative order (the cartesian check still
+    applies)."""
+    remaining = [(i, p) for i, p in enumerate(patterns)]
+    if len(remaining) < 3:      # nothing to reorder
+        return list(patterns)
+
+    def sel(p):
+        return sum(0 if _is_var(t) else 1 for t in p)
+
+    def vars_of(p):
+        return {t[1:] for t in p if _is_var(t)}
+
+    ordered: list = []
+    bound: set = set()
+    while remaining:
+        pool = [(i, p) for i, p in remaining
+                if not ordered or (vars_of(p) & bound)]
+        if not pool:
+            pool = remaining    # disconnected — defer to the join check
+        # most constants wins; original position breaks ties (stable)
+        i, p = max(pool, key=lambda ip: (sel(ip[1]), -ip[0]))
+        ordered.append(p)
+        bound |= vars_of(p)
+        remaining.remove((i, p))
+    return ordered
+
+
 def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
               optionals: Sequence[Tuple[str, str, str]] = (),
               filters: Sequence[Tuple[str, str, object]] = (),
@@ -201,7 +237,7 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
         base = base.filter(F.col("graph").isNotNull())
     result: DataFrame = None
     bound: List[str] = []
-    for idx, pat in enumerate(patterns):
+    for idx, pat in enumerate(_order_patterns(patterns)):
         df, varset = _compile_pattern(base, pat, graph=graph)
         if result is None:
             result, bound = df, varset

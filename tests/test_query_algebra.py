@@ -206,6 +206,22 @@ class TestBgpUnion:
             duckdb.sql(bgp_union_sql(blocks, _tiny_cte())).fetchall())
         assert spark_rows == duck_rows
 
+    def test_selectivity_reorder_preserves_results(self, tiny):
+        from rdf_go_spark.operators.query import _order_patterns
+        # least-selective first as written; the optimizer must start
+        # from the 2-constant pattern and stay connected
+        pats = [("?x", "<p>", "?y"),            # 1 constant
+                ("?y", "?q", "?z"),             # 0 constants
+                ("?x", "<q>", "<d>")]           # 2 constants
+        assert _order_patterns(pats) == [
+            ("?x", "<q>", "<d>"), ("?x", "<p>", "?y"), ("?y", "?q", "?z")]
+        base = bgp_match(tiny, pats)
+        import itertools
+        for perm in itertools.permutations(pats):
+            got = bgp_match(tiny, list(perm))
+            assert sorted(map(tuple, base.collect())) == \
+                sorted(map(tuple, got.select(*base.columns).collect()))
+
     def test_path_pred_inside_bgp(self, tiny):
         # a pattern whose predicate is a path routes through paths.py
         out = bgp_match(tiny, [("?x", "<p>+/<q>", "?d"),
