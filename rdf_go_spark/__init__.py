@@ -17,6 +17,35 @@ Layout:
 __version__ = "0.1.0"
 
 
+def parse(text: str, format: str = None, base: str = ""):
+    """The reference's two-call user API, Python-shaped
+    (rdf/api.go:77 Parse with auto-detection at api.go:229): parse an
+    RDF document in any of the six formats (auto-detected when
+    ``format`` is None) into (statements, errors, format_used).
+    Errors are quarantine records, never exceptions — the push-handler
+    contract. Pure Python: no JVM needed."""
+    from .parsers.detect import parse_any
+    return parse_any(text, fmt=format, base=base)
+
+
+def encode(statements, format: str = "ntriples", **kwargs) -> str:
+    """Serialize statements to any of the six formats (rdf/api.go:114
+    NewWriter): canonical N-Triples/N-Quads lines, deterministic
+    Turtle/TriG with sorted prefixes, RDF/XML, JSON-LD."""
+    from . import encoders
+    fns = {
+        "ntriples": encoders.encode_ntriples,
+        "nquads": encoders.encode_nquads,
+        "turtle": encoders.encode_turtle,
+        "trig": encoders.encode_trig,
+        "jsonld": encoders.encode_jsonld,
+        "rdfxml": encoders.encode_rdfxml,
+    }
+    if format not in fns:
+        raise ValueError(f"unknown format {format!r} (have {sorted(fns)})")
+    return fns[format](statements, **kwargs)
+
+
 def sparql(triples, query: str):
     """Run a SPARQL SELECT / CONSTRUCT / ASK / DESCRIBE string over a
     triples or quads DataFrame (canonical ``subj``/``pred``/``obj``
