@@ -34,7 +34,7 @@ Supported subset (documented, rejected-with-error beyond it)::
     }
     { block } UNION { block }               at WHERE top level
     GROUP BY ?v ...   HAVING(COUNT(?x) > n | ?alias > n)
-    ORDER BY [ASC|DESC](?v) ...   LIMIT n
+    ORDER BY [ASC|DESC](?v) ...   LIMIT n OFFSET m
 
 Numeric positions (FILTER comparisons to an integer, SUM/MIN/MAX/AVG)
 operate on the canonical ``"n"^^xsd:integer`` literal form the pipeline
@@ -61,7 +61,8 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
     "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
-    "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "AS",
+    "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
+    "AS",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "BOUND", "LANG", "DATATYPE",
     "STRSTARTS", "STRENDS", "CONTAINS", "A",
 }
@@ -235,6 +236,7 @@ class ParsedQuery:
     describe: List[str] = field(default_factory=list)  # ?var / <iri>
     # HAVING constraints: (_Proj agg | alias str, cmp op, int)
     having: List[Tuple[object, str, int]] = field(default_factory=list)
+    offset: Optional[int] = None
 
 
 class _Parser:
@@ -681,6 +683,7 @@ class _Parser:
         order_by: List[Tuple[str, bool]] = []
         having: List[Tuple[object, str, int]] = []
         limit: Optional[int] = None
+        offset: Optional[int] = None
         while self.peek() is not None:
             if self.at_kw("HAVING"):
                 self.take()
@@ -733,6 +736,12 @@ class _Parser:
                 if v.kind != "int" or v.val < 0:
                     raise SparqlError("LIMIT needs a non-negative integer")
                 limit = v.val
+            elif self.at_kw("OFFSET"):
+                self.take()
+                v = self.take()
+                if v.kind != "int" or v.val < 0:
+                    raise SparqlError("OFFSET needs a non-negative integer")
+                offset = v.val
             else:
                 raise SparqlError(
                     f"unexpected trailing {self.peek().val!r}")
@@ -740,14 +749,15 @@ class _Parser:
         q = ParsedQuery(form=form, distinct=distinct, projection=projection,
                         blocks=blocks, group_by=group_by, order_by=order_by,
                         limit=limit, template=template, describe=describe,
-                        having=having)
+                        having=having, offset=offset)
         _validate(q)
         return q
 
 
 def _validate(q: ParsedQuery) -> None:
     if q.form in ("ask", "describe"):
-        if q.group_by or q.order_by or q.having or q.limit is not None:
+        if (q.group_by or q.order_by or q.having
+                or q.limit is not None or q.offset is not None):
             raise SparqlError(
                 f"{q.form.upper()} does not take solution modifiers")
         return
@@ -889,15 +899,36 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
         names = [p.var if p.kind == "var" else p.alias
                  for p in q.projection]
         sol = sol.select(*names)
+        sol = _order_slice(sol, q)
     else:
-        if not any(p.kind == "star" for p in q.projection):
-            sol = sol.select(*[p.var for p in q.projection])
+        star = any(p.kind == "star" for p in q.projection)
         if q.distinct:
-            sol = sol.distinct()
+            # SPARQL restricts ORDER BY to projected vars under DISTINCT
+            if not star:
+                sol = sol.select(*[p.var for p in q.projection])
+            sol = _order_slice(sol.distinct(), q)
+        else:
+            # ORDER BY runs pre-projection in the SPARQL algebra, so it
+            # may reference unprojected variables
+            sol = _order_slice(sol, q)
+            if not star:
+                sol = sol.select(*[p.var for p in q.projection])
+    return sol
+
+
+def _order_slice(sol: DataFrame, q: ParsedQuery) -> DataFrame:
+    """ORDER BY / OFFSET / LIMIT in SPARQL's order of operations."""
     if q.order_by:
+        missing = [v for v, _ in q.order_by if v not in sol.columns]
+        if missing:
+            raise SparqlError(
+                f"ORDER BY references unavailable variable(s) {missing} "
+                "(under DISTINCT, only projected variables are sortable)")
         sol = sol.orderBy(*[
             F.col(v).asc() if asc else F.col(v).desc()
             for v, asc in q.order_by])
+    if q.offset:
+        sol = sol.offset(q.offset)
     if q.limit is not None:
         sol = sol.limit(q.limit)
     return sol
@@ -1008,4 +1039,6 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
             f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order_by)
     if q.limit is not None:
         sql += f"\nLIMIT {q.limit}"
+    if q.offset:
+        sql += f"\nOFFSET {q.offset}"
     return sql

@@ -94,7 +94,8 @@ class TestParser:
 
     @pytest.mark.parametrize("bad, msg", [
         ("SELECT ?s WHERE { ?s <p>* ?o }", "unsupported"),
-        ("SELECT ?s WHERE { ?s ?p ?o } OFFSET 2", "unexpected bare word"),
+        ("SELECT REDUCED ?s WHERE { ?s ?p ?o }", "unexpected bare word"),
+        ("ASK WHERE { ?s ?p ?o } OFFSET 2", "solution modifiers"),
         ("ASK WHERE { ?s ?p ?o } LIMIT 1", "solution modifiers"),
         ("DESCRIBE WHERE { ?s ?p ?o }", "needs .vars or IRIs"),
         ("PREFIX x: <http://x/> DESCRIBE ?s", "missing WHERE"),
@@ -372,6 +373,27 @@ class TestExecution:
     def test_builtin_rejects(self, bad, msg):
         with pytest.raises(SparqlError, match=msg):
             parse_sparql(bad)
+
+    def test_offset_and_unprojected_order(self, tiny):
+        # ORDER BY a variable that is NOT projected (pre-projection sort,
+        # SPARQL algebra), plus OFFSET pagination
+        q1 = """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE { ?s x:age ?a } ORDER BY DESC(?a) ?s
+            LIMIT 2 OFFSET 1
+        """
+        sp = [r.s for r in sparql_select(tiny, q1).collect()]
+        du = [r[0] for r in duckdb.sql(sparql_sql(q1, _tiny_cte()))
+              .fetchall()]
+        # ages: b=7, c=7, a=3 -> sorted b,c,a; offset 1 limit 2 -> c,a
+        assert sp == du == ["<http://x/c>", "<http://x/a>"]
+
+    def test_distinct_unprojected_order_rejected(self, tiny):
+        with pytest.raises(SparqlError, match="only projected"):
+            sparql_select(tiny, """
+                PREFIX x: <http://x/>
+                SELECT DISTINCT ?s WHERE { ?s x:age ?a } ORDER BY ?a
+            """).collect()
 
     def test_having(self, tiny):
         # ages 3, 7, 7 -> HAVING count > 1 keeps only age 7
