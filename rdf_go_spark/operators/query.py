@@ -200,6 +200,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
               optionals: Sequence[Tuple[str, str, str]] = (),
               filters: Sequence[Tuple[str, str, object]] = (),
               minus: Sequence[Tuple[str, str, str]] = (),
+              exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+              not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
               graph: str = None,
               allow_cross: bool = False) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
@@ -218,6 +220,13 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
     share (a left-anti join, the scalable negation shape). Like SPARQL,
     a minus block sharing NO variable removes nothing — rejected here as
     a mistake unless the block is empty.
+
+    ``exists`` / ``not_exists``: FILTER [NOT] EXISTS blocks (each a
+    pattern list). With shared variables these are correlated semi/anti
+    joins — same plan family as minus; with NO shared variable SPARQL's
+    semantics differ from MINUS: the block's mere matchability gates
+    EVERY solution, implemented as a broadcast 1-row existence flag
+    (never a data-scale cross join).
 
     ``graph``: SPARQL-GRAPH-style quad matching — every pattern
     (required, optional, and the minus block) additionally matches the
@@ -273,6 +282,24 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
                 "SPARQL semantics would remove nothing")
         result = result.join(mdf.select(*shared).distinct(),
                              on=shared, how="left_anti")
+    for blocks, negate in ((exists, False), (not_exists, True)):
+        for pats in blocks:
+            edf = bgp_match(triples, pats, graph=graph,
+                            allow_cross=allow_cross)
+            shared = [v for v in edf.columns if v in bound]
+            if shared:
+                how = "left_anti" if negate else "left_semi"
+                result = result.join(edf.select(*shared).distinct(),
+                                     on=shared, how=how)
+            else:
+                # uncorrelated existence: one broadcast flag row gates
+                # all solutions (matches SPARQL, unlike MINUS)
+                flag = F.broadcast(
+                    edf.limit(1).select(F.lit(1).alias("_exists")))
+                result = result.join(flag, how="left")
+                cond = (F.col("_exists").isNull() if negate
+                        else F.col("_exists").isNotNull())
+                result = result.filter(cond).drop("_exists")
     return result
 
 
@@ -339,7 +366,8 @@ def _filter_sql(var: str, op: str, value) -> str:
 
 
 def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
-                  minus=(), graph=None) -> Tuple[str, List[str]]:
+                  minus=(), exists=(), not_exists=(),
+                  graph=None) -> Tuple[str, List[str]]:
     """SELECT body for a BGP block over an existing ``base_name`` CTE;
     returns (sql, bound variable names)."""
     selects: List[str] = []
@@ -403,6 +431,14 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
         on = " AND ".join(f"mm.{v} = q.{v}" for v in shared)
         outer_conds.append(
             f"NOT EXISTS (SELECT 1 FROM ({msql}) mm WHERE {on})")
+    for blocks, kw in ((exists, "EXISTS"), (not_exists, "NOT EXISTS")):
+        for bi, pats in enumerate(blocks):
+            esql, evars = _bgp_sql_body(pats, base_name, graph=graph)
+            shared = [v for v in evars if v in bound]
+            on = (" WHERE " + " AND ".join(
+                f"ee.{v} = q.{v}" for v in shared)) if shared else ""
+            outer_conds.append(
+                f"{kw} (SELECT 1 FROM ({esql}) ee{on})")
     if outer_conds:
         sql = (f"SELECT * FROM (\n{sql}\n) q\nWHERE "
                + " AND ".join(outer_conds))
@@ -414,6 +450,8 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
             optionals: Sequence[Tuple[str, str, str]] = (),
             filters: Sequence[Tuple[str, str, object]] = (),
             minus: Sequence[Tuple[str, str, str]] = (),
+            exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+            not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
             graph: str = None) -> str:
     """DuckDB twin of ``bgp_match``: the same BGP (with OPTIONAL /
     FILTER / MINUS / path predicates) as self-joins over a triples CTE —
@@ -422,7 +460,8 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
     NOT EXISTS on the shared variables; path predicates inline their
     compiled relation (operators/paths.py)."""
     body, _ = _bgp_sql_body(patterns, base_name, optionals=optionals,
-                            filters=filters, minus=minus, graph=graph)
+                            filters=filters, minus=minus, exists=exists,
+                            not_exists=not_exists, graph=graph)
     return f"WITH {base_name} AS ({base_cte})\n{body}"
 
 
@@ -435,6 +474,8 @@ def bgp_union_sql(blocks: Sequence[dict], base_cte: str,
                       optionals=blk.get("optionals", ()),
                       filters=blk.get("filters", ()),
                       minus=blk.get("minus", ()),
+                      exists=blk.get("exists", ()),
+                      not_exists=blk.get("not_exists", ()),
                       graph=blk.get("graph"))
         for blk in blocks
     ]

@@ -15,6 +15,8 @@ Supported subset (documented, rejected-with-error beyond it)::
     PREFIX pfx: <iri>                       (any number)
     SELECT [DISTINCT] ?v ... | * |
            (COUNT(*) AS ?n) (COUNT|SUM|MIN|MAX|AVG([DISTINCT] ?v) AS ?a)
+           (GROUP_CONCAT([DISTINCT] ?v; SEPARATOR=", ") AS ?a)
+           (SAMPLE(?v) AS ?a)                deterministic (min term)
     CONSTRUCT { template triples }
     ASK                                     (boolean existence)
     DESCRIBE ?v ... <iri> ...               (subject-role description)
@@ -29,6 +31,7 @@ Supported subset (documented, rejected-with-error beyond it)::
       FILTER([!]STRSTARTS(?x, "s"))         also STRENDS / CONTAINS,
                                             over STR(?x) lexical/IRI text
       VALUES ?x { <a> <b> "lit" }           single-var inline restriction
+      FILTER([NOT] EXISTS { ... })          correlated semi/anti join
       MINUS { ... }                         left-anti on shared vars
       GRAPH ?g { ... }                      quad match (named graphs only)
     }
@@ -63,12 +66,14 @@ _KEYWORDS = {
     "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "AS",
-    "COUNT", "SUM", "MIN", "MAX", "AVG", "BOUND", "LANG", "DATATYPE",
-    "STRSTARTS", "STRENDS", "CONTAINS", "A",
+    "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE",
+    "SEPARATOR", "BOUND", "LANG", "DATATYPE",
+    "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS", "NOT", "A",
 }
 _STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
               "CONTAINS": "contains"}
-_AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+_AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT",
+              "SAMPLE")
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
 
 
@@ -206,11 +211,14 @@ class _Block:
     optionals: List[Tuple[str, str, str]] = field(default_factory=list)
     filters: List[Tuple[str, str, object]] = field(default_factory=list)
     minus: List[Tuple[str, str, str]] = field(default_factory=list)
+    exists: List[list] = field(default_factory=list)
+    not_exists: List[list] = field(default_factory=list)
     graph: Optional[str] = None        # GRAPH term for the whole block
 
     def kwargs(self) -> dict:
         return {"patterns": self.patterns, "optionals": self.optionals,
                 "filters": self.filters, "minus": self.minus,
+                "exists": self.exists, "not_exists": self.not_exists,
                 "graph": self.graph}
 
 
@@ -218,9 +226,10 @@ class _Block:
 class _Proj:
     kind: str                 # "var" | "agg" | "star"
     var: Optional[str] = None          # projected/arg variable
-    func: Optional[str] = None         # COUNT/SUM/MIN/MAX/AVG
+    func: Optional[str] = None         # COUNT/SUM/.../GROUP_CONCAT/SAMPLE
     distinct: bool = False             # COUNT(DISTINCT ?x)
     alias: Optional[str] = None
+    sep: str = " "                     # GROUP_CONCAT separator
 
 
 @dataclass
@@ -402,13 +411,32 @@ class _Parser:
             raise SparqlError(f"{what} needs a plain string literal")
         return t.val[1:-1]
 
+    def _exists_patterns(self) -> list:
+        self.expect_op("{")
+        pats: List[Tuple[str, str, str]] = []
+        while not self.at_op("}"):
+            self._triples_into(pats)
+        self.take()
+        if not pats:
+            raise SparqlError("empty EXISTS block")
+        return pats
+
     def _filter(self, blk: _Block) -> None:
         self.expect_op("(")
         negated = False
         if self.at_op("!"):
             self.take()
             negated = True
-        if self.at_kw("BOUND"):
+        if self.at_kw("EXISTS") or self.at_kw("NOT"):
+            if self.at_kw("NOT"):
+                self.take()
+                if not self.at_kw("EXISTS"):
+                    raise SparqlError("expected EXISTS after NOT")
+                negated = not negated
+            self.take()      # EXISTS
+            pats = self._exists_patterns()
+            (blk.not_exists if negated else blk.exists).append(pats)
+        elif self.at_kw("BOUND"):
             self.take()
             var = self._func_var_arg("bound()")
             blk.filters.append(
@@ -587,8 +615,20 @@ class _Parser:
         else:
             raise SparqlError(
                 f"aggregate argument must be ?var or *, got {arg.val!r}")
+        sep = " "
+        if self.at_op(";"):
+            if f_.val != "GROUP_CONCAT":
+                raise SparqlError(
+                    f"only GROUP_CONCAT takes a SEPARATOR, not {f_.val}")
+            self.take()
+            self.expect_kw("SEPARATOR")
+            eq = self.take()
+            if eq.kind != "op" or eq.val != "=":
+                raise SparqlError("SEPARATOR needs '='")
+            sep = self._plain_string("SEPARATOR")
         self.expect_op(")")
-        return _Proj("agg", var=var, func=f_.val, distinct=distinct)
+        return _Proj("agg", var=var, func=f_.val, distinct=distinct,
+                     sep=sep)
 
     def _projection(self) -> List[_Proj]:
         projs: List[_Proj] = []
@@ -693,6 +733,10 @@ class _Parser:
                     lhs: object = self.take().val   # SELECT alias ref
                 else:
                     lhs = self._agg_call()
+                    if lhs.func in ("GROUP_CONCAT", "SAMPLE"):
+                        raise SparqlError(
+                            f"{lhs.func} is string-valued — not usable "
+                            "in HAVING's integer comparison")
                 op = self.take()
                 if op.kind != "op" or op.val not in _CMP_OPS:
                     raise SparqlError(
@@ -806,10 +850,19 @@ def _agg_column(p: _Proj) -> "F.Column":
         else:
             c = F.count(F.col(p.var))
         return c.alias(p.alias)
+    if p.func == "GROUP_CONCAT":
+        # SPARQL leaves element order undefined; we define SORTED order
+        # so both engines produce the identical string
+        coll = (F.collect_set(F.col(p.var)) if p.distinct
+                else F.collect_list(F.col(p.var)))
+        return F.array_join(F.array_sort(coll), p.sep).alias(p.alias)
+    if p.func == "SAMPLE":
+        # deterministic sample: the minimum term string on both engines
+        return F.min(F.col(p.var)).alias(p.alias)
     col = _int_col(p.var)
     if p.distinct:
         raise SparqlError(f"DISTINCT inside {p.func} is only supported "
-                          "for COUNT")
+                          "for COUNT and GROUP_CONCAT")
     fn = {"SUM": F.sum, "MIN": F.min, "MAX": F.max, "AVG": F.avg}[p.func]
     c = fn(col)
     if p.func == "AVG":
@@ -950,6 +1003,12 @@ def _agg_sql_expr(p: _Proj) -> str:
         else:
             inner = f"count({p.var})"
         return f"{inner}::BIGINT"
+    if p.func == "GROUP_CONCAT":
+        d = "DISTINCT " if p.distinct else ""
+        sep = "'" + p.sep.replace("'", "''") + "'"
+        return f"string_agg({d}{p.var}, {sep} ORDER BY {p.var})"
+    if p.func == "SAMPLE":
+        return f"min({p.var})"
     expr = _int_sql(p.var)
     if p.func == "AVG":
         return f"round(avg({expr}), 6)"
@@ -968,7 +1027,8 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
         b = q.blocks[0]
         inner = bgp_sql(b.patterns, base_cte, base_name=base_name,
                         optionals=b.optionals, filters=b.filters,
-                        minus=b.minus, graph=b.graph)
+                        minus=b.minus, exists=b.exists,
+                        not_exists=b.not_exists, graph=b.graph)
     elif q.blocks:
         inner = bgp_union_sql([b.kwargs() for b in q.blocks], base_cte,
                               base_name=base_name)

@@ -374,6 +374,56 @@ class TestExecution:
         with pytest.raises(SparqlError, match=msg):
             parse_sparql(bad)
 
+    def test_group_concat_and_sample(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s (GROUP_CONCAT(?o; SEPARATOR=", ") AS ?all)
+                   (SAMPLE(?o) AS ?one)
+            WHERE { ?s x:knows ?o } GROUP BY ?s
+        """)
+        assert sp == du
+        assert dict((r[0], r[1]) for r in sp) == {
+            "<http://x/a>": "<http://x/b>", "<http://x/b>": "<http://x/c>"}
+        # distinct + sorted order is the cross-engine determinism rule
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT (GROUP_CONCAT(DISTINCT ?d) AS ?ds)
+            WHERE { ?s x:likes ?d }
+        """)
+        assert sp2 == du2 == [("<http://x/d>",)]
+
+    def test_filter_exists(self, tiny):
+        # correlated: people with an age who also know someone
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE { ?s x:age ?a .
+                              FILTER(EXISTS { ?s x:knows ?o }) }
+        """)
+        assert sp == du and {r[0] for r in sp} == {
+            "<http://x/a>", "<http://x/b>"}
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE { ?s x:age ?a .
+                              FILTER(NOT EXISTS { ?s x:knows ?o }) }
+        """)
+        assert sp2 == du2 and {r[0] for r in sp2} == {"<http://x/c>"}
+
+    def test_filter_exists_uncorrelated(self, tiny):
+        # no shared variable: the block's matchability gates everything
+        # (unlike MINUS, which would remove nothing)
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE { ?s x:age ?a .
+                              FILTER(NOT EXISTS { ?z x:label ?lab }) }
+        """)
+        assert sp == du == []     # a label exists -> all solutions drop
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE { ?s x:age ?a .
+                              FILTER(EXISTS { ?z x:nosuch ?w }) }
+        """)
+        assert sp2 == du2 == []   # nothing matches -> EXISTS gates all
+
     def test_offset_and_unprojected_order(self, tiny):
         # ORDER BY a variable that is NOT projected (pre-projection sort,
         # SPARQL algebra), plus OFFSET pagination
