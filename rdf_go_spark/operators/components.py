@@ -92,8 +92,22 @@ def dedup_clusters(pairs: DataFrame) -> DataFrame:
                     (F.col("node") == F.col("component")).alias("keep")))
 
 
+def transitive_closure_pairs(edges: DataFrame, src: str = "src",
+                             dst: str = "dst",
+                             max_iter: int = 32) -> DataFrame:
+    """Set-semantics closure — (src, dst) only, no hop distance: the
+    ``pred+`` lowering for path queries (paths.py), which discard
+    distance anyway. Same path-doubling round structure as
+    transitive_closure but the per-round merge is a 2-column DISTINCT
+    instead of a 3-column min-aggregate — less shuffle data and a
+    cheaper aggregate per round."""
+    return transitive_closure(edges, src=src, dst=dst,
+                              max_iter=max_iter, with_distance=False)
+
+
 def transitive_closure(edges: DataFrame, src: str = "src",
-                       dst: str = "dst", max_iter: int = 32) -> DataFrame:
+                       dst: str = "dst", max_iter: int = 32,
+                       with_distance: bool = True) -> DataFrame:
     """Directed transitive closure with shortest hop distance — the
     relational property-path ``pred+`` operator: (src, dst, dist) for
     every reachable pair. Path-doubling iteration (paths ∘ paths, min
@@ -103,11 +117,34 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     and is bounded by the final closure size either way. Cycles are
     safe: a pair's shortest-hop distance is present from the round the
     pair first appears (both halves of the shortest path exist
-    inductively), so the count fixpoint is also the distance fixpoint."""
+    inductively), so the count fixpoint is also the distance fixpoint.
+
+    ``with_distance=False`` drops the dist column and merges with a
+    plain DISTINCT (set semantics — see transitive_closure_pairs)."""
     from pyspark.sql import Observation
 
     e = (edges.select(F.col(src).alias("m"), F.col(dst).alias("d"))
          .distinct().localCheckpoint())
+    if not with_distance:
+        paths = e.select(F.col("m").alias("src"),
+                         F.col("d").alias("dst")).localCheckpoint()
+        n = paths.count()
+        for i in range(max_iter):
+            comp = (paths.alias("a").join(
+                        paths.alias("b"),
+                        F.col("a.dst") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.dst").alias("dst")))
+            merged = paths.unionByName(comp).distinct()
+            obs = Observation()
+            merged = merged.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
+            _capture_iteration_plan("transitive_closure_pairs", i, merged)
+            merged = merged.localCheckpoint()
+            m = obs.get["n_pairs"]
+            if m == n:
+                break
+            paths, n = merged, m
+        return paths
     paths = e.select(F.col("m").alias("src"), F.col("d").alias("dst"),
                      F.lit(1).alias("dist")).localCheckpoint()
     n = paths.count()

@@ -157,9 +157,9 @@ def _compile_df(ast: Ast, base: DataFrame) -> DataFrame:
         return _compile_df(ast[1], base).unionByName(
             _compile_df(ast[2], base))
     if kind == "plus":
-        from .components import transitive_closure
+        from .components import transitive_closure_pairs
         inner = _compile_df(ast[1], base)
-        return transitive_closure(inner).select("src", "dst")
+        return transitive_closure_pairs(inner)
     raise AssertionError(f"unknown path node {kind!r}")
 
 
