@@ -334,6 +334,13 @@ def _sql_str(s) -> str:
     return "'" + str(s).replace("'", "''") + "'"
 
 
+def _str_sql(name: str) -> str:
+    """SQL twin of _str_column: STR() over a canonical term string."""
+    return (f"CASE WHEN starts_with({name}, '<') "
+            f"THEN regexp_extract({name}, '{_IRI_RE}', 1) "
+            f"ELSE regexp_extract({name}, '{_LEX_RE}', 1) END")
+
+
 def _filter_sql(var: str, op: str, value) -> str:
     name = var[1:] if _is_var(var) else var
     if op == "bound":
@@ -351,9 +358,7 @@ def _filter_sql(var: str, op: str, value) -> str:
         return f"{got} {'=' if op == 'dt=' else '<>'} {_sql_str(want)}"
     if op in ("strstarts", "!strstarts", "strends", "!strends",
               "contains", "!contains"):
-        s = (f"CASE WHEN starts_with({name}, '<') "
-             f"THEN regexp_extract({name}, '{_IRI_RE}', 1) "
-             f"ELSE regexp_extract({name}, '{_LEX_RE}', 1) END")
+        s = _str_sql(name)
         fn = {"strstarts": "starts_with", "strends": "ends_with",
               "contains": "contains"}[op.lstrip("!")]
         cond = f"{fn}({s}, {_sql_str(value)})"

@@ -17,6 +17,7 @@ Supported subset (documented, rejected-with-error beyond it)::
            (COUNT(*) AS ?n) (COUNT|SUM|MIN|MAX|AVG([DISTINCT] ?v) AS ?a)
            (GROUP_CONCAT([DISTINCT] ?v; SEPARATOR=", ") AS ?a)
            (SAMPLE(?v) AS ?a)                deterministic (min term)
+           (LANG(?v)|DATATYPE(?v)|STR(?v) AS ?a)   expression columns
     CONSTRUCT { template triples }
     ASK                                     (boolean existence)
     DESCRIBE ?v ... <iri> ...               (subject-role description)
@@ -55,7 +56,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .query import (
-    _INT_LIT_RE, bgp_match, bgp_sql, bgp_union, bgp_union_sql,
+    _DT_RE, _INT_LIT_RE, _LANG_RE, _str_column, _str_sql,
+    bgp_match, bgp_sql, bgp_union, bgp_union_sql,
 )
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -68,8 +70,9 @@ _KEYWORDS = {
     "AS",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE",
     "SEPARATOR", "BOUND", "LANG", "DATATYPE",
-    "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS", "NOT", "A",
+    "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS", "NOT", "STR", "A",
 }
+_EXPR_FUNCS = ("LANG", "DATATYPE", "STR")
 _STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
               "CONTAINS": "contains"}
 _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT",
@@ -224,7 +227,7 @@ class _Block:
 
 @dataclass
 class _Proj:
-    kind: str                 # "var" | "agg" | "star"
+    kind: str                 # "var" | "agg" | "expr" | "star"
     var: Optional[str] = None          # projected/arg variable
     func: Optional[str] = None         # COUNT/SUM/.../GROUP_CONCAT/SAMPLE
     distinct: bool = False             # COUNT(DISTINCT ?x)
@@ -644,7 +647,14 @@ class _Parser:
                 projs.append(_Proj("var", var=t.val))
             elif t.kind == "op" and t.val == "(":
                 self.take()
-                p = self._agg_call()
+                nxt = self.peek()
+                if nxt is not None and nxt.kind == "kw" \
+                        and nxt.val in _EXPR_FUNCS:
+                    fn = self.take().val
+                    var = self._func_var_arg(fn)
+                    p = _Proj("expr", var=var[1:], func=fn)
+                else:
+                    p = self._agg_call()
                 self.expect_kw("AS")
                 alias = self.take()
                 if alias.kind != "var":
@@ -818,12 +828,15 @@ def _validate(q: ParsedQuery) -> None:
         for p in q.projection:
             if p.kind == "star":
                 raise SparqlError("SELECT * cannot mix with aggregates")
-            if p.kind == "var" and p.var not in q.group_by:
+            if p.kind in ("var", "expr") and p.var not in q.group_by:
                 raise SparqlError(
                     f"?{p.var} is projected but neither aggregated nor "
                     "in GROUP BY")
     elif q.group_by:
         raise SparqlError("GROUP BY without an aggregate in SELECT")
+    if any(p.kind == "star" for p in q.projection) \
+            and any(p.kind == "expr" for p in q.projection):
+        raise SparqlError("SELECT * cannot mix with expressions")
     if q.form == "construct":
         if q.group_by or any(p.kind == "agg" for p in q.projection):
             raise SparqlError("CONSTRUCT does not take aggregates")
@@ -839,6 +852,30 @@ def parse_sparql(text: str) -> ParsedQuery:
 
 def _int_col(name: str) -> "F.Column":
     return F.regexp_extract(F.col(name), _INT_LIT_RE, 1).try_cast("long")
+
+
+def _expr_column(p: _Proj) -> "F.Column":
+    """A SELECT expression (LANG / DATATYPE / STR of a variable)."""
+    col = F.col(p.var)
+    if p.func == "LANG":
+        c = F.regexp_extract(col, _LANG_RE, 1)
+    elif p.func == "DATATYPE":
+        c = F.regexp_extract(col, _DT_RE, 1)
+    else:                               # STR
+        c = _str_column(col)
+    return c.alias(p.alias)
+
+
+def _proj_columns(projection) -> list:
+    cols = []
+    for p in projection:
+        if p.kind == "var":
+            cols.append(F.col(p.var))
+        elif p.kind == "agg":
+            cols.append(F.col(p.alias))
+        elif p.kind == "expr":
+            cols.append(_expr_column(p))
+    return cols
 
 
 def _agg_column(p: _Proj) -> "F.Column":
@@ -949,23 +986,21 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             sol = sol.filter(
                 {"=": c == val, "!=": c != val, "<": c < val,
                  "<=": c <= val, ">": c > val, ">=": c >= val}[op])
-        names = [p.var if p.kind == "var" else p.alias
-                 for p in q.projection]
-        sol = sol.select(*names)
+        sol = sol.select(*_proj_columns(q.projection))
         sol = _order_slice(sol, q)
     else:
         star = any(p.kind == "star" for p in q.projection)
         if q.distinct:
             # SPARQL restricts ORDER BY to projected vars under DISTINCT
             if not star:
-                sol = sol.select(*[p.var for p in q.projection])
+                sol = sol.select(*_proj_columns(q.projection))
             sol = _order_slice(sol.distinct(), q)
         else:
             # ORDER BY runs pre-projection in the SPARQL algebra, so it
             # may reference unprojected variables
             sol = _order_slice(sol, q)
             if not star:
-                sol = sol.select(*[p.var for p in q.projection])
+                sol = sol.select(*_proj_columns(q.projection))
     return sol
 
 
@@ -1072,9 +1107,25 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
                 + "\nUNION\n".join(parts))
 
     has_agg = any(p.kind == "agg" for p in q.projection)
+
+    def _expr_sql(p: _Proj) -> str:
+        if p.func == "LANG":
+            e = f"regexp_extract({p.var}, '{_LANG_RE}', 1)"
+        elif p.func == "DATATYPE":
+            e = f"regexp_extract({p.var}, '{_DT_RE}', 1)"
+        else:
+            e = _str_sql(p.var)
+        return f"{e} AS {p.alias}"
+
+    def _col_sql(p: _Proj) -> str:
+        if p.kind == "var":
+            return p.var
+        if p.kind == "agg":
+            return _agg_sql(p)
+        return _expr_sql(p)
+
     if has_agg:
-        cols = [p.var if p.kind == "var" else _agg_sql(p)
-                for p in q.projection]
+        cols = [_col_sql(p) for p in q.projection]
         sql = (f"SELECT {', '.join(cols)} FROM (\n{inner}\n) q")
         if q.group_by:
             sql += "\nGROUP BY " + ", ".join(q.group_by)
@@ -1091,7 +1142,7 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
         if any(p.kind == "star" for p in q.projection):
             cols = ["*"]
         else:
-            cols = [p.var for p in q.projection]
+            cols = [_col_sql(p) for p in q.projection]
         kw = "SELECT DISTINCT" if q.distinct else "SELECT"
         sql = f"{kw} {', '.join(cols)} FROM (\n{inner}\n) q"
     if q.order_by:

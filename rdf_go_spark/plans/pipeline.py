@@ -492,6 +492,38 @@ def kg_sparql_builtins_oracle_sql(n_conv: int) -> str:
     return sparql_sql(_SPARQL_BUILTINS, kg_triples_oracle_sql(n_conv))
 
 
+_SPARQL_ENTITY_TOOLS = """
+PREFIX v: <http://example.org/v/>
+SELECT ?e (GROUP_CONCAT(DISTINCT ?tool; SEPARATOR="|") AS ?tools)
+       (SAMPLE(?t) AS ?sample_turn) (COUNT(*) AS ?n_tool_turns)
+WHERE {
+  ?t v:mentions ?e ;
+     v:tool ?tool .
+  FILTER(EXISTS { ?t v:prevTurn ?p })
+}
+GROUP BY ?e
+"""
+
+
+def kg_sparql_entity_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-entity tool profile through the SPARQL front-end:
+    GROUP_CONCAT(DISTINCT; sorted — the cross-engine determinism rule),
+    deterministic SAMPLE, and a correlated FILTER EXISTS (tool turns
+    with a predecessor — a semi join, the scalable correlated-negation
+    family). Exercises the string-valued aggregate path end-to-end
+    against the DuckDB twin."""
+    from ..operators.sparql import sparql_select
+
+    return sparql_select(_query_graph(spark, sf_dir),
+                         _SPARQL_ENTITY_TOOLS)
+
+
+def kg_sparql_entity_tools_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    return sparql_sql(_SPARQL_ENTITY_TOOLS, kg_triples_oracle_sql(n_conv))
+
+
 _SPARQL_GRAPH_Q = """
 PREFIX v: <http://example.org/v/>
 SELECT ?g (COUNT(*) AS ?n_mentions) (COUNT(DISTINCT ?e) AS ?n_entities)

@@ -374,6 +374,30 @@ class TestExecution:
         with pytest.raises(SparqlError, match=msg):
             parse_sparql(bad)
 
+    def test_select_expressions(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT (STR(?d) AS ?iri) (LANG(?lab) AS ?lg)
+                   (DATATYPE(?lab) AS ?dt)
+            WHERE { ?d x:label ?lab }
+        """)
+        assert sp == du == [("http://x/d", "en", "")]
+        # expression over a GROUP BY var, mixed with an aggregate
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT (STR(?s) AS ?name) (COUNT(*) AS ?n)
+            WHERE { ?s x:age ?a } GROUP BY ?s
+        """)
+        assert sp2 == du2 and len(sp2) == 3
+        assert all(not r[0].startswith("<") for r in sp2)
+
+    def test_select_expression_rejects(self, tiny):
+        with pytest.raises(SparqlError, match="neither aggregated"):
+            parse_sparql("SELECT (STR(?s) AS ?n) (COUNT(*) AS ?c) "
+                         "WHERE { ?s ?p ?o }")
+        with pytest.raises(SparqlError, match="cannot mix"):
+            parse_sparql("SELECT * (STR(?s) AS ?n) WHERE { ?s ?p ?o }")
+
     def test_group_concat_and_sample(self, tiny):
         sp, du = _both(tiny, """
             PREFIX x: <http://x/>
