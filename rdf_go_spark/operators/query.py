@@ -51,6 +51,7 @@ _FILTER_OPS = (
     "strends", "!strends",
     "contains", "!contains",
     "in",                              # VALUES ?x { ... } lowered to IN
+    "||",                              # disjunction of &&-chains (DNF)
 )
 
 
@@ -103,6 +104,13 @@ def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str],
     return _bind_positions(base, pat, _POSITIONS)
 
 
+def _is_plain_literal(value) -> bool:
+    """A canonical plain string literal: '"..."' with no lang tag or
+    datatype suffix."""
+    return (isinstance(value, str) and len(value) >= 2
+            and value.startswith('"') and value.endswith('"'))
+
+
 def _str_column(col: "F.Column") -> "F.Column":
     """SPARQL STR() over a canonical term string: IRI → inner text,
     literal → (escaped) lexical form, bnode → '' (a type error that
@@ -123,6 +131,16 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
     '' (compare-false), and STR* operate on the escaped lexical form."""
     if op not in _FILTER_OPS:
         raise ValueError(f"unsupported FILTER op {op!r} (have {_FILTER_OPS})")
+    if op == "||":
+        # value = list of &&-branches, each a list of atomic conditions
+        import functools
+        import operator as _op
+        branches = []
+        for branch in value:
+            cs = [_filter_column(v2[1:] if _is_var(v2) else v2, o2, val2)
+                  for v2, o2, val2 in branch]
+            branches.append(functools.reduce(_op.and_, cs))
+        return functools.reduce(_op.or_, branches)
     col = F.col(var)
     if op == "bound":
         return col.isNotNull()
@@ -156,6 +174,14 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
         # cast failure
         col = F.regexp_extract(col, _INT_LIT_RE, 1).try_cast("long")
         value = F.lit(value)
+    elif _is_plain_literal(value) and op in ("=", "!="):
+        # a plain "string" literal also matches BIND/LANG/STR-derived
+        # BARE strings (canonical term columns are never bare, so this
+        # cannot create false positives)
+        bare = value[1:-1]
+        if op == "=":
+            return (col == value) | (col == bare)
+        return (col != value) & (col != bare)
     return {"=": col == value, "!=": col != value, "<": col < value,
             "<=": col <= value, ">": col > value, ">=": col >= value}[op]
 
@@ -202,6 +228,7 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
               minus: Sequence[Tuple[str, str, str]] = (),
               exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
               not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+              binds: Sequence[Tuple[str, str, str]] = (),
               graph: str = None,
               allow_cross: bool = False) -> DataFrame:
     """Match a conjunction of triple patterns; returns one column per
@@ -220,6 +247,12 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
     share (a left-anti join, the scalable negation shape). Like SPARQL,
     a minus block sharing NO variable removes nothing — rejected here as
     a mistake unless the block is empty.
+
+    ``binds``: BIND-style derived columns, each (alias, func, arg) —
+    func "LANG"/"DATATYPE"/"STR" extracts from the bound variable
+    ``arg``; func None binds the constant term ``arg`` (the standard
+    UNION-provenance tag). Applied after the joins, before filters, so
+    filters and projection can reference the alias.
 
     ``exists`` / ``not_exists``: FILTER [NOT] EXISTS blocks (each a
     pattern list). With shared variables these are correlated semi/anti
@@ -267,7 +300,31 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
                 f"required block")
         result = result.join(df, on=on, how="left")
         bound += [v for v in varset if v not in bound]
+    for alias, fn, arg in binds:
+        if alias in bound:
+            raise ValueError(f"BIND alias ?{alias} is already bound")
+        if fn is None:
+            col = F.lit(arg)
+        else:
+            if arg not in bound:
+                raise ValueError(
+                    f"BIND references unbound variable ?{arg}")
+            src = F.col(arg)
+            col = {"LANG": F.regexp_extract(src, _LANG_RE, 1),
+                   "DATATYPE": F.regexp_extract(src, _DT_RE, 1),
+                   "STR": _str_column(src)}[fn]
+        result = result.withColumn(alias, col)
+        bound.append(alias)
     for var, op, value in filters:
+        if op == "||":
+            for branch in value:
+                for v2, _o2, _v2 in branch:
+                    nm = v2[1:] if _is_var(v2) else v2
+                    if nm not in bound:
+                        raise ValueError(
+                            f"FILTER references unbound variable ?{nm}")
+            result = result.filter(_filter_column(var, op, value))
+            continue
         name = var[1:] if _is_var(var) else var
         if name not in bound:
             raise ValueError(f"FILTER references unbound variable ?{name}")
@@ -342,6 +399,12 @@ def _str_sql(name: str) -> str:
 
 
 def _filter_sql(var: str, op: str, value) -> str:
+    if op == "||":
+        parts = [
+            "(" + " AND ".join(_filter_sql(v2, o2, val2)
+                               for v2, o2, val2 in branch) + ")"
+            for branch in value]
+        return "(" + " OR ".join(parts) + ")"
     name = var[1:] if _is_var(var) else var
     if op == "bound":
         return f"{name} IS NOT NULL"
@@ -367,11 +430,16 @@ def _filter_sql(var: str, op: str, value) -> str:
         lhs = (f"TRY_CAST(regexp_extract({name}, '{_INT_LIT_RE}', 1) "
                f"AS BIGINT)")
         return f"{lhs} {'<>' if op == '!=' else op} {value}"
+    if _is_plain_literal(value) and op in ("=", "!="):
+        canon, bare = _sql_str(value), _sql_str(value[1:-1])
+        if op == "=":
+            return f"({name} = {canon} OR {name} = {bare})"
+        return f"({name} <> {canon} AND {name} <> {bare})"
     return f"{name} {'<>' if op == '!=' else op} {_sql_str(value)}"
 
 
 def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
-                  minus=(), exists=(), not_exists=(),
+                  minus=(), exists=(), not_exists=(), binds=(),
                   graph=None) -> Tuple[str, List[str]]:
     """SELECT body for a BGP block over an existing ``base_name`` CTE;
     returns (sql, bound variable names)."""
@@ -429,6 +497,22 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
         sql += "\nWHERE " + " AND ".join(where)
     bound = list(seen.keys())
 
+    if binds:
+        extra = []
+        for alias, fn, arg in binds:
+            if fn is None:
+                extra.append(f"{_sql_str(arg)} AS {alias}")
+            elif fn == "LANG":
+                extra.append(
+                    f"regexp_extract({arg}, '{_LANG_RE}', 1) AS {alias}")
+            elif fn == "DATATYPE":
+                extra.append(
+                    f"regexp_extract({arg}, '{_DT_RE}', 1) AS {alias}")
+            else:
+                extra.append(f"{_str_sql(arg)} AS {alias}")
+            bound.append(alias)
+        sql = (f"SELECT bq.*, {', '.join(extra)} FROM (\n{sql}\n) bq")
+
     outer_conds = [_filter_sql(v, op, val) for v, op, val in filters]
     if minus:
         msql, mvars = _bgp_sql_body(minus, base_name, graph=graph)
@@ -457,6 +541,7 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
             minus: Sequence[Tuple[str, str, str]] = (),
             exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
             not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+            binds: Sequence[Tuple[str, str, str]] = (),
             graph: str = None) -> str:
     """DuckDB twin of ``bgp_match``: the same BGP (with OPTIONAL /
     FILTER / MINUS / path predicates) as self-joins over a triples CTE —
@@ -466,7 +551,8 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
     compiled relation (operators/paths.py)."""
     body, _ = _bgp_sql_body(patterns, base_name, optionals=optionals,
                             filters=filters, minus=minus, exists=exists,
-                            not_exists=not_exists, graph=graph)
+                            not_exists=not_exists, binds=binds,
+                            graph=graph)
     return f"WITH {base_name} AS ({base_cte})\n{body}"
 
 
@@ -481,6 +567,7 @@ def bgp_union_sql(blocks: Sequence[dict], base_cte: str,
                       minus=blk.get("minus", ()),
                       exists=blk.get("exists", ()),
                       not_exists=blk.get("not_exists", ()),
+                      binds=blk.get("binds", ()),
                       graph=blk.get("graph"))
         for blk in blocks
     ]

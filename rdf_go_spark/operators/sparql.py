@@ -27,11 +27,14 @@ Supported subset (documented, rejected-with-error beyond it)::
       ?s a ?type .                          'a' = rdf:type
       OPTIONAL { ... }                      left join
       FILTER(?i > 3)  FILTER(bound(?x))     =, !=, <, <=, >, >=, [!]bound
+      FILTER(?i > 3 && ?i < 7 || ?i = 0)    boolean combos (&& over ||)
       FILTER(LANG(?x) = "en")               lang-tag compare (=/!=)
       FILTER(DATATYPE(?x) = xsd:integer)    datatype compare (=/!=)
       FILTER([!]STRSTARTS(?x, "s"))         also STRENDS / CONTAINS,
                                             over STR(?x) lexical/IRI text
       VALUES ?x { <a> <b> "lit" }           single-var inline restriction
+      BIND(LANG(?x) AS ?l)                  derived column; also
+      BIND("tag" AS ?src)                   constant (UNION provenance)
       FILTER([NOT] EXISTS { ... })          correlated semi/anti join
       MINUS { ... }                         left-anti on shared vars
       GRAPH ?g { ... }                      quad match (named graphs only)
@@ -66,6 +69,7 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
     "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
+    "BIND",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "AS",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE",
@@ -176,6 +180,11 @@ def _tokenize(q: str) -> List[_Tok]:
         elif c == "!" and q[i:i + 2] == "!=":
             toks.append(_Tok("op", "!="))
             i += 2
+        elif c == "&":
+            if q[i:i + 2] != "&&":
+                raise SparqlError(f"single '&' at offset {i} (use &&)")
+            toks.append(_Tok("op", "&&"))
+            i += 2
         elif c == ">" and q[i:i + 2] == ">=":
             toks.append(_Tok("op", ">="))
             i += 2
@@ -216,13 +225,15 @@ class _Block:
     minus: List[Tuple[str, str, str]] = field(default_factory=list)
     exists: List[list] = field(default_factory=list)
     not_exists: List[list] = field(default_factory=list)
+    binds: List[Tuple[str, Optional[str], str]] = field(
+        default_factory=list)
     graph: Optional[str] = None        # GRAPH term for the whole block
 
     def kwargs(self) -> dict:
         return {"patterns": self.patterns, "optionals": self.optionals,
                 "filters": self.filters, "minus": self.minus,
                 "exists": self.exists, "not_exists": self.not_exists,
-                "graph": self.graph}
+                "binds": self.binds, "graph": self.graph}
 
 
 @dataclass
@@ -424,27 +435,17 @@ class _Parser:
             raise SparqlError("empty EXISTS block")
         return pats
 
-    def _filter(self, blk: _Block) -> None:
-        self.expect_op("(")
+    def _condition(self) -> Tuple[str, str, object]:
+        """One atomic FILTER condition (no EXISTS — that's block-level)."""
         negated = False
         if self.at_op("!"):
             self.take()
             negated = True
-        if self.at_kw("EXISTS") or self.at_kw("NOT"):
-            if self.at_kw("NOT"):
-                self.take()
-                if not self.at_kw("EXISTS"):
-                    raise SparqlError("expected EXISTS after NOT")
-                negated = not negated
-            self.take()      # EXISTS
-            pats = self._exists_patterns()
-            (blk.not_exists if negated else blk.exists).append(pats)
-        elif self.at_kw("BOUND"):
+        if self.at_kw("BOUND"):
             self.take()
             var = self._func_var_arg("bound()")
-            blk.filters.append(
-                (var, "!bound" if negated else "bound", None))
-        elif self.at_kw("LANG") or self.at_kw("DATATYPE"):
+            return (var, "!bound" if negated else "bound", None)
+        if self.at_kw("LANG") or self.at_kw("DATATYPE"):
             fn = self.take().val
             var = self._func_var_arg(fn)
             op = self.take()
@@ -454,19 +455,17 @@ class _Parser:
                 raise SparqlError(f"use {fn}(...) != instead of !{fn}")
             neq = op.val == "!="
             if fn == "LANG":
-                blk.filters.append(
-                    (var, "lang!=" if neq else "lang=",
-                     self._plain_string("LANG comparison")))
+                return (var, "lang!=" if neq else "lang=",
+                        self._plain_string("LANG comparison"))
+            t = self.take()
+            if t.kind == "iri":
+                dt = t.val
+            elif t.kind == "pname":
+                dt = self._expand_pname(t.val)
             else:
-                t = self.take()
-                if t.kind == "iri":
-                    dt = t.val
-                elif t.kind == "pname":
-                    dt = self._expand_pname(t.val)
-                else:
-                    raise SparqlError("DATATYPE comparison needs an IRI")
-                blk.filters.append((var, "dt!=" if neq else "dt=", dt))
-        elif any(self.at_kw(k) for k in _STR_FUNCS):
+                raise SparqlError("DATATYPE comparison needs an IRI")
+            return (var, "dt!=" if neq else "dt=", dt)
+        if any(self.at_kw(k) for k in _STR_FUNCS):
             fn = self.take().val
             self.expect_op("(")
             v = self.take()
@@ -476,31 +475,70 @@ class _Parser:
             arg = self._plain_string(fn)
             self.expect_op(")")
             op = ("!" if negated else "") + _STR_FUNCS[fn]
-            blk.filters.append(("?" + v.val, op, arg))
+            return ("?" + v.val, op, arg)
+        if negated:
+            raise SparqlError(
+                "'!' is only supported before bound/STRSTARTS/"
+                "STRENDS/CONTAINS")
+        v = self.take()
+        if v.kind != "var":
+            raise SparqlError("FILTER comparisons must start with a "
+                              "variable")
+        op = self.take()
+        if op.kind != "op" or op.val not in _CMP_OPS:
+            raise SparqlError(f"unsupported FILTER operator {op.val!r}")
+        rhs = self.take()
+        value: object
+        if rhs.kind == "int":
+            value = rhs.val
+        elif rhs.kind == "var":
+            raise SparqlError(
+                "variable-to-variable FILTER comparison is not "
+                "supported (compare to a constant)")
         else:
-            if negated:
-                raise SparqlError(
-                    "'!' is only supported before bound/STRSTARTS/"
-                    "STRENDS/CONTAINS")
-            v = self.take()
-            if v.kind != "var":
-                raise SparqlError("FILTER comparisons must start with a "
-                                  "variable")
-            op = self.take()
-            if op.kind != "op" or op.val not in _CMP_OPS:
-                raise SparqlError(f"unsupported FILTER operator {op.val!r}")
-            rhs = self.take()
-            value: object
-            if rhs.kind == "int":
-                value = rhs.val
-            elif rhs.kind == "var":
-                raise SparqlError(
-                    "variable-to-variable FILTER comparison is not "
-                    "supported (compare to a constant)")
-            else:
-                value = self._term(rhs, "obj")
-            blk.filters.append(("?" + v.val, op.val, value))
+            value = self._term(rhs, "obj")
+        return ("?" + v.val, op.val, value)
+
+    def _and_chain(self) -> list:
+        conds = [self._condition()]
+        while self.at_op("&&"):
+            self.take()
+            conds.append(self._condition())
+        return conds
+
+    def _filter(self, blk: _Block) -> None:
+        self.expect_op("(")
+        # [NOT] EXISTS is block-level (semi/anti join), not combinable
+        # with boolean operators
+        if self.at_kw("EXISTS") or self.at_kw("NOT") or (
+                self.at_op("!") and self.peek(1) is not None
+                and self.peek(1).kind == "kw"
+                and self.peek(1).val == "EXISTS"):
+            negated = False
+            if self.at_op("!"):
+                self.take()
+                negated = True
+            if self.at_kw("NOT"):
+                self.take()
+                if not self.at_kw("EXISTS"):
+                    raise SparqlError("expected EXISTS after NOT")
+                negated = not negated
+            self.take()      # EXISTS
+            pats = self._exists_patterns()
+            (blk.not_exists if negated else blk.exists).append(pats)
+            self.expect_op(")")
+            return
+        # boolean combination: ||-chain of &&-chains (DNF)
+        or_groups = [self._and_chain()]
+        while self.at_op("|"):
+            self.take()
+            self.expect_op("|")
+            or_groups.append(self._and_chain())
         self.expect_op(")")
+        if len(or_groups) == 1:
+            blk.filters.extend(or_groups[0])     # pure AND: flat filters
+        else:
+            blk.filters.append(("||", "||", or_groups))
 
     def _block_items(self, blk: _Block) -> None:
         """Consume group items until the closing '}' (not taken)."""
@@ -520,6 +558,27 @@ class _Parser:
             elif self.at_kw("FILTER"):
                 self.take()
                 self._filter(blk)
+            elif self.at_kw("BIND"):
+                self.take()
+                self.expect_op("(")
+                nxt = self.peek()
+                if nxt is not None and nxt.kind == "kw" \
+                        and nxt.val in _EXPR_FUNCS:
+                    fn = self.take().val
+                    arg = self._func_var_arg(fn)[1:]
+                else:
+                    t2 = self.take()
+                    if t2.kind == "var":
+                        raise SparqlError(
+                            "BIND supports LANG/DATATYPE/STR(?v) or a "
+                            "constant term, not a bare variable")
+                    fn, arg = None, self._term(t2, "obj")
+                self.expect_kw("AS")
+                v = self.take()
+                if v.kind != "var":
+                    raise SparqlError("BIND needs AS ?variable")
+                self.expect_op(")")
+                blk.binds.append((v.val, fn, arg))
             elif self.at_kw("VALUES"):
                 self.take()
                 if self.at_op("("):
@@ -1059,11 +1118,11 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
     CTE — the oracle for driver SPARQL queries."""
     q = parse_sparql(query)
     if len(q.blocks) == 1:
-        b = q.blocks[0]
-        inner = bgp_sql(b.patterns, base_cte, base_name=base_name,
-                        optionals=b.optionals, filters=b.filters,
-                        minus=b.minus, exists=b.exists,
-                        not_exists=b.not_exists, graph=b.graph)
+        # route through kwargs() so a new block field can never be
+        # silently dropped on one side (it bit twice: exists, binds)
+        kw = q.blocks[0].kwargs()
+        inner = bgp_sql(kw.pop("patterns"), base_cte,
+                        base_name=base_name, **kw)
     elif q.blocks:
         inner = bgp_union_sql([b.kwargs() for b in q.blocks], base_cte,
                               base_name=base_name)

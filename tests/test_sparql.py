@@ -374,6 +374,58 @@ class TestExecution:
         with pytest.raises(SparqlError, match=msg):
             parse_sparql(bad)
 
+    def test_bind(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?lg WHERE {
+              ?s x:label ?lab .
+              BIND(LANG(?lab) AS ?lg)
+              FILTER(?lg = "en") }
+        """)
+        assert sp == du == [("<http://x/d>", "en")]
+        # constant BIND tagging UNION branches
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?src WHERE {
+              { ?s x:knows ?o . BIND("knower" AS ?src) }
+              UNION
+              { ?s x:likes ?o . BIND("liker" AS ?src) } }
+        """)
+        assert sp2 == du2 and len(sp2) == 4
+        assert {r[1] for r in sp2} == {'"knower"', '"liker"'}
+
+    def test_bind_rejects(self, tiny):
+        with pytest.raises(SparqlError, match="not a bare variable"):
+            parse_sparql("SELECT ?s WHERE { ?s ?p ?o . BIND(?o AS ?x) }")
+        with pytest.raises(ValueError, match="already bound"):
+            sparql_select(tiny, """
+                PREFIX x: <http://x/>
+                SELECT ?s WHERE { ?s x:age ?a . BIND(STR(?s) AS ?a) }
+            """).collect()
+
+    def test_filter_boolean_combinations(self, tiny):
+        # && chain
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE { ?s x:age ?a .
+                              FILTER(?a > 2 && ?a < 7) }
+        """)
+        assert sp == du == [("<http://x/a>",)]
+        # || of && chains (DNF), mixing numeric and builtin atoms
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?a WHERE {
+              ?s x:age ?a .
+              FILTER(?a < 4 || ?a > 6 && CONTAINS(?s, "/b")) }
+        """)
+        # a=3 passes left; b=7 passes right; c=7 fails CONTAINS
+        assert sp2 == du2 and {r[0] for r in sp2} == {
+            "<http://x/a>", "<http://x/b>"}
+
+    def test_single_ampersand_rejected(self):
+        with pytest.raises(SparqlError, match="single '&'"):
+            parse_sparql("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s = 1 & 2) }")
+
     def test_select_expressions(self, tiny):
         sp, du = _both(tiny, """
             PREFIX x: <http://x/>
