@@ -45,19 +45,49 @@ def bgps(draw):
     if draw(st.booleans()):
         optionals.append(("?" + draw(st.sampled_from(pool)),
                           draw(st.sampled_from(PREDS)), "?opt"))
+
+    def atom():
+        kind = draw(st.sampled_from(["int", "term", "str"]))
+        v = "?" + draw(st.sampled_from(pool))
+        if kind == "int":
+            return (v, draw(st.sampled_from(["<", "<=", ">", ">=",
+                                             "=", "!="])),
+                    draw(st.integers(2, 8)))
+        if kind == "term":
+            return (v, draw(st.sampled_from(["=", "!="])),
+                    draw(st.sampled_from(OBJECTS)))
+        return (v, draw(st.sampled_from(
+            ["strstarts", "!strstarts", "contains", "!contains"])),
+            draw(st.sampled_from(["s", "a", "3", "x"])))
+
     filters = []
     if draw(st.booleans()):
-        filters.append(("?" + draw(st.sampled_from(pool)),
-                        draw(st.sampled_from(["<", "<=", ">", ">=",
-                                              "=", "!="])),
-                        draw(st.integers(2, 8))))
+        filters.append(atom())
+    if draw(st.booleans()):
+        # DNF combination: up to 2 or-branches of up to 2 atoms
+        filters.append(("||", "||", [
+            [atom() for _ in range(draw(st.integers(1, 2)))]
+            for _ in range(draw(st.integers(2, 3)))]))
     minus = []
     if draw(st.booleans()):
         minus.append(("?" + draw(st.sampled_from(pool)),
                       draw(st.sampled_from(PREDS)),
                       draw(st.sampled_from(OBJECTS))))
+    exists, not_exists = [], []
+    if draw(st.booleans()):
+        blockset = draw(st.sampled_from(["e", "ne"]))
+        pat = [("?" + draw(st.sampled_from(pool)),
+                draw(st.sampled_from(PREDS)),
+                draw(st.sampled_from(OBJECTS + ["?ex"])))]
+        (exists if blockset == "e" else not_exists).append(pat)
+    binds = []
+    if draw(st.booleans()):
+        binds.append(("bnd",
+                      draw(st.sampled_from(["LANG", "DATATYPE", "STR"])),
+                      draw(st.sampled_from(pool))))
     return {"patterns": pats, "optionals": optionals,
-            "filters": filters, "minus": minus}
+            "filters": filters, "minus": minus,
+            "exists": exists, "not_exists": not_exists, "binds": binds}
 
 
 def _cte(edges) -> str:
@@ -111,9 +141,8 @@ def test_random_bgp_matches_sql_twin(spark, edges, q):
     cols = sorted(sdf.columns)
     spark_rows = sorted(
         tuple(row[c] for c in cols) for row in sdf.collect())
-    rel = duckdb.sql(bgp_sql(q["patterns"], _cte(edges),
-                             optionals=q["optionals"],
-                             filters=q["filters"], minus=q["minus"]))
+    kw = dict(q)
+    rel = duckdb.sql(bgp_sql(kw.pop("patterns"), _cte(edges), **kw))
     idx = [rel.columns.index(c) for c in cols]
     duck_rows = sorted(
         tuple(r[i] for i in idx) for r in rel.fetchall())
