@@ -369,7 +369,13 @@ def bgp_union(triples: DataFrame,
     SPARQL's union of solution mappings with disjoint domains allowed."""
     if not blocks:
         raise ValueError("empty UNION")
-    parts = [bgp_match(triples, **blk) for blk in blocks]
+    return align_union([bgp_match(triples, **blk) for blk in blocks])
+
+
+def align_union(parts: Sequence[DataFrame]) -> DataFrame:
+    """Union solution DataFrames on the union of their columns
+    (first-appearance order), NULL-padding the ones a part lacks —
+    SPARQL's union of solution mappings with disjoint domains."""
     all_vars: List[str] = []
     for p in parts:
         for c in p.columns:

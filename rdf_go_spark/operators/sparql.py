@@ -40,6 +40,9 @@ Supported subset (documented, rejected-with-error beyond it)::
       GRAPH ?g { ... }                      quad match (named graphs only)
     }
     { block } UNION { block }               at WHERE top level
+    { SELECT ... }                          subqueries, joined on their
+                                            shared variables (nested
+                                            aggregation / keyset shapes)
     GROUP BY ?v ...   HAVING(COUNT(?x) > n | ?alias > n)
     ORDER BY [ASC|DESC](?v) ...   LIMIT n OFFSET m
 
@@ -59,8 +62,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .query import (
-    _DT_RE, _INT_LIT_RE, _LANG_RE, _str_column, _str_sql,
-    bgp_match, bgp_sql, bgp_union, bgp_union_sql,
+    _DT_RE, _INT_LIT_RE, _LANG_RE, _str_column, _str_sql, bgp_match,
 )
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -228,6 +230,9 @@ class _Block:
     binds: List[Tuple[str, Optional[str], str]] = field(
         default_factory=list)
     graph: Optional[str] = None        # GRAPH term for the whole block
+    # nested { SELECT ... } subqueries — joined on shared variables by
+    # the sparql layer (NOT part of kwargs(): bgp_match is unaware)
+    subselects: List["ParsedQuery"] = field(default_factory=list)
 
     def kwargs(self) -> dict:
         return {"patterns": self.patterns, "optionals": self.optionals,
@@ -558,6 +563,17 @@ class _Parser:
             elif self.at_kw("FILTER"):
                 self.take()
                 self._filter(blk)
+            elif self.at_op("{"):
+                self.take()
+                if not self.at_kw("SELECT"):
+                    raise SparqlError(
+                        "nested groups support only { SELECT ... } "
+                        "subqueries")
+                sub = self._query()
+                if sub.form != "select":
+                    raise SparqlError("subqueries must be SELECT")
+                blk.subselects.append(sub)
+                self.expect_op("}")
             elif self.at_kw("BIND"):
                 self.take()
                 self.expect_op("(")
@@ -637,17 +653,21 @@ class _Parser:
         self.take()   # }
         return blk
 
+    def _at_subselect(self) -> bool:
+        nxt = self.peek(1)
+        return (self.at_op("{") and nxt is not None
+                and nxt.kind == "kw" and nxt.val == "SELECT")
+
     def _where_blocks(self) -> List[_Block]:
-        # WHERE { {b1} UNION {b2} ... }  or  WHERE { plain block }
+        # WHERE { {b1} UNION {b2} ... }  or  WHERE { plain block };
+        # a leading '{ SELECT' is a subselect, not a UNION group
         self.expect_op("{")
-        if self.at_op("{"):
+        if self.at_op("{") and not self._at_subselect():
             blocks = [self._group()]
             while self.at_kw("UNION"):
                 self.take()
                 blocks.append(self._group())
             self.expect_op("}")
-            if len(blocks) == 1:
-                return blocks
             return blocks
         # plain block: same item grammar, no UNION
         blk = _Block()
@@ -738,7 +758,14 @@ class _Parser:
             if iri.kind != "iri":
                 raise SparqlError("PREFIX needs an <iri>")
             self.prefixes[p.val[:-1]] = iri.val[1:-1]
+        q = self._query()
+        if self.peek() is not None:
+            raise SparqlError(f"unexpected trailing {self.peek().val!r}")
+        return q
 
+    def _query(self) -> ParsedQuery:
+        """One query form (used at top level and for { SELECT } subqueries
+        — the modifier loop stops at the subquery's closing brace)."""
         t = self.take()
         if t.kind != "kw" or t.val not in ("SELECT", "CONSTRUCT", "ASK",
                                            "DESCRIBE"):
@@ -793,7 +820,7 @@ class _Parser:
         having: List[Tuple[object, str, int]] = []
         limit: Optional[int] = None
         offset: Optional[int] = None
-        while self.peek() is not None:
+        while self.peek() is not None and not self.at_op("}"):
             if self.at_kw("HAVING"):
                 self.take()
                 self.expect_op("(")
@@ -876,14 +903,16 @@ def _validate(q: ParsedQuery) -> None:
         return
     has_agg = any(p.kind == "agg" for p in q.projection)
     if q.having:
-        if not has_agg:
-            raise SparqlError("HAVING requires an aggregate SELECT")
+        if not (has_agg or q.group_by):
+            raise SparqlError("HAVING requires aggregation or GROUP BY")
         aliases = {p.alias for p in q.projection if p.kind == "agg"}
         for h, _, _ in q.having:
             if isinstance(h, str) and h not in aliases:
                 raise SparqlError(
                     f"HAVING references unknown alias ?{h}")
-    if has_agg:
+    if has_agg or q.group_by:
+        # GROUP BY without SELECT aggregates is the DISTINCT-keys(+
+        # HAVING) shape — valid; every plain projection must be grouped
         for p in q.projection:
             if p.kind == "star":
                 raise SparqlError("SELECT * cannot mix with aggregates")
@@ -891,8 +920,6 @@ def _validate(q: ParsedQuery) -> None:
                 raise SparqlError(
                     f"?{p.var} is projected but neither aggregated nor "
                     "in GROUP BY")
-    elif q.group_by:
-        raise SparqlError("GROUP BY without an aggregate in SELECT")
     if any(p.kind == "star" for p in q.projection) \
             and any(p.kind == "expr" for p in q.projection):
         raise SparqlError("SELECT * cannot mix with expressions")
@@ -967,14 +994,44 @@ def _agg_column(p: _Proj) -> "F.Column":
 
 
 def sparql_select(triples: DataFrame, query: str) -> DataFrame:
-    """Execute a SPARQL SELECT/CONSTRUCT string over the triples table
-    (canonical subj/pred/obj columns). Returns one column per projected
-    variable (SELECT) or canonical subj/pred/obj rows (CONSTRUCT)."""
-    q = parse_sparql(query)
+    """Execute a SPARQL SELECT/CONSTRUCT/ASK/DESCRIBE string over the
+    triples table (canonical subj/pred/obj columns). Returns one column
+    per projected variable (SELECT) or canonical subj/pred/obj rows
+    (CONSTRUCT)."""
+    return _exec_query(triples, parse_sparql(query))
+
+
+def _exec_block(triples: DataFrame, blk: _Block) -> DataFrame:
+    """One block's solutions: patterns via bgp_match, then every
+    { SELECT } subquery joined on its shared variables (the SPARQL
+    bottom-up evaluation order — subqueries are computed independently
+    and joined into the enclosing group)."""
+    if not blk.patterns and (blk.filters or blk.optionals or blk.minus
+                             or blk.exists or blk.not_exists or blk.binds):
+        raise SparqlError(
+            "a block without triple patterns supports only subqueries")
+    sol = bgp_match(triples, **blk.kwargs()) if blk.patterns else None
+    for sub in blk.subselects:
+        sdf = _exec_query(triples, sub)
+        if sol is None:
+            sol = sdf
+            continue
+        shared = [c for c in sdf.columns if c in sol.columns]
+        if not shared:
+            raise SparqlError(
+                "subquery shares no variable with the enclosing block")
+        sol = sol.join(sdf, on=shared)
+    if sol is None:
+        raise SparqlError("empty WHERE block")
+    return sol
+
+
+def _exec_query(triples: DataFrame, q: ParsedQuery) -> DataFrame:
+    from .query import align_union
     if len(q.blocks) == 1:
-        sol = bgp_match(triples, **q.blocks[0].kwargs())
+        sol = _exec_block(triples, q.blocks[0])
     elif q.blocks:
-        sol = bgp_union(triples, [b.kwargs() for b in q.blocks])
+        sol = align_union([_exec_block(triples, b) for b in q.blocks])
     else:
         sol = None    # DESCRIBE <iri> without WHERE
 
@@ -1026,7 +1083,7 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
             out = out.unionByName(p_)
         return out.distinct()    # a graph is a set of triples
 
-    has_agg = any(p.kind == "agg" for p in q.projection)
+    has_agg = any(p.kind == "agg" for p in q.projection) or bool(q.group_by)
     if has_agg:
         aggs = [_agg_column(p) for p in q.projection if p.kind == "agg"]
         # HAVING aggregates not in SELECT ride along as hidden columns
@@ -1038,6 +1095,9 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
                 h.alias = f"_having_{idx}"
                 aggs.append(_agg_column(h))
                 conds.append((h.alias, op, val))
+        if not aggs:
+            # GROUP BY with no aggregate at all: distinct group keys
+            aggs = [F.count(F.lit(1)).alias("_group_marker")]
         sol = (sol.groupBy(*q.group_by).agg(*aggs) if q.group_by
                else sol.agg(*aggs))
         for name, op, val in conds:
@@ -1113,19 +1173,66 @@ def _agg_sql(p: _Proj) -> str:
     return f"{_agg_sql_expr(p)} AS {p.alias}"
 
 
+def _block_body_sql(blk: _Block, base_name: str) -> Tuple[str, list]:
+    """One block's solution body (no WITH): patterns via _bgp_sql_body,
+    then subselect bodies joined on shared variables."""
+    from .query import _bgp_sql_body
+    # route through kwargs() so a new block field can never be silently
+    # dropped on one side (it bit twice: exists, binds)
+    kw = blk.kwargs()
+    if blk.patterns:
+        body, bound = _bgp_sql_body(kw.pop("patterns"), base_name, **kw)
+    else:
+        body, bound = None, []
+    for i, sub in enumerate(blk.subselects):
+        sub_body, sub_vars = _select_body_sql(sub, base_name)
+        if body is None:
+            body, bound = (f"SELECT * FROM (\n{sub_body}\n) sq{i}",
+                           list(sub_vars))
+            continue
+        shared = [v for v in sub_vars if v in bound]
+        if not shared:
+            raise SparqlError(
+                "subquery shares no variable with the enclosing block")
+        new = [v for v in sub_vars if v not in bound]
+        sel_new = (", " + ", ".join(f"sq{i}.{v}" for v in new)) if new \
+            else ""
+        on = " AND ".join(f"q.{v} = sq{i}.{v}" for v in shared)
+        body = (f"SELECT q.*{sel_new} FROM (\n{body}\n) q JOIN "
+                f"(\n{sub_body}\n) sq{i} ON {on}")
+        bound = bound + new
+    if body is None:
+        raise SparqlError("empty WHERE block")
+    return body, bound
+
+
+def _solution_body_sql(q: ParsedQuery, base_name: str) -> Tuple[str, list]:
+    """WHERE-clause solution body for all of a query's blocks (UNION
+    aligned on the union of variables, NULL-padded)."""
+    bodies = [_block_body_sql(b, base_name) for b in q.blocks]
+    if len(bodies) == 1:
+        return bodies[0]
+    all_vars: List[str] = []
+    for _, vs in bodies:
+        for v in vs:
+            if v not in all_vars:
+                all_vars.append(v)
+    parts = []
+    for k, (body, vs) in enumerate(bodies):
+        cols = ", ".join(
+            v if v in vs else f"CAST(NULL AS VARCHAR) AS {v}"
+            for v in all_vars)
+        parts.append(f"SELECT {cols} FROM (\n{body}\n) u{k}")
+    return "\nUNION ALL\n".join(parts), all_vars
+
+
 def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
     """DuckDB twin: the same parsed query compiled to SQL over a triples
     CTE — the oracle for driver SPARQL queries."""
     q = parse_sparql(query)
-    if len(q.blocks) == 1:
-        # route through kwargs() so a new block field can never be
-        # silently dropped on one side (it bit twice: exists, binds)
-        kw = q.blocks[0].kwargs()
-        inner = bgp_sql(kw.pop("patterns"), base_cte,
-                        base_name=base_name, **kw)
-    elif q.blocks:
-        inner = bgp_union_sql([b.kwargs() for b in q.blocks], base_cte,
-                              base_name=base_name)
+    if q.blocks:
+        body, _ = _solution_body_sql(q, base_name)
+        inner = f"WITH {base_name} AS ({base_cte})\n{body}"
     else:
         inner = None    # DESCRIBE <iri> without WHERE
 
@@ -1165,27 +1272,39 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
         return (f"WITH sparql_sol AS (\n{inner}\n)\n"
                 + "\nUNION\n".join(parts))
 
-    has_agg = any(p.kind == "agg" for p in q.projection)
+    body, _ = _select_body_sql(q, base_name)
+    return f"WITH {base_name} AS ({base_cte})\n{body}"
 
-    def _expr_sql(p: _Proj) -> str:
-        if p.func == "LANG":
-            e = f"regexp_extract({p.var}, '{_LANG_RE}', 1)"
-        elif p.func == "DATATYPE":
-            e = f"regexp_extract({p.var}, '{_DT_RE}', 1)"
-        else:
-            e = _str_sql(p.var)
-        return f"{e} AS {p.alias}"
 
-    def _col_sql(p: _Proj) -> str:
-        if p.kind == "var":
-            return p.var
-        if p.kind == "agg":
-            return _agg_sql(p)
-        return _expr_sql(p)
+def _expr_sql(p: _Proj) -> str:
+    if p.func == "LANG":
+        e = f"regexp_extract({p.var}, '{_LANG_RE}', 1)"
+    elif p.func == "DATATYPE":
+        e = f"regexp_extract({p.var}, '{_DT_RE}', 1)"
+    else:
+        e = _str_sql(p.var)
+    return f"{e} AS {p.alias}"
 
+
+def _col_sql(p: _Proj) -> str:
+    if p.kind == "var":
+        return p.var
+    if p.kind == "agg":
+        return _agg_sql(p)
+    return _expr_sql(p)
+
+
+def _select_body_sql(q: ParsedQuery, base_name: str) -> Tuple[str, list]:
+    """SELECT-query body (no WITH) + its output column names — used for
+    the top-level SELECT form and recursively for { SELECT } subqueries."""
+    if q.form != "select":
+        raise SparqlError("subqueries must be SELECT")
+    sol_body, sol_vars = _solution_body_sql(q, base_name)
+    has_agg = any(p.kind == "agg" for p in q.projection) or bool(q.group_by)
+    star = any(p.kind == "star" for p in q.projection)
     if has_agg:
         cols = [_col_sql(p) for p in q.projection]
-        sql = (f"SELECT {', '.join(cols)} FROM (\n{inner}\n) q")
+        sql = (f"SELECT {', '.join(cols)} FROM (\n{sol_body}\n) q")
         if q.group_by:
             sql += "\nGROUP BY " + ", ".join(q.group_by)
         if q.having:
@@ -1198,12 +1317,9 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
                 hconds.append(f"{expr} {'<>' if op == '!=' else op} {val}")
             sql += "\nHAVING " + " AND ".join(hconds)
     else:
-        if any(p.kind == "star" for p in q.projection):
-            cols = ["*"]
-        else:
-            cols = [_col_sql(p) for p in q.projection]
+        cols = ["*"] if star else [_col_sql(p) for p in q.projection]
         kw = "SELECT DISTINCT" if q.distinct else "SELECT"
-        sql = f"{kw} {', '.join(cols)} FROM (\n{inner}\n) q"
+        sql = f"{kw} {', '.join(cols)} FROM (\n{sol_body}\n) q"
     if q.order_by:
         sql += "\nORDER BY " + ", ".join(
             f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order_by)
@@ -1211,4 +1327,6 @@ def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
         sql += f"\nLIMIT {q.limit}"
     if q.offset:
         sql += f"\nOFFSET {q.offset}"
-    return sql
+    out = sol_vars if star else [
+        p.var if p.kind == "var" else p.alias for p in q.projection]
+    return sql, out

@@ -106,7 +106,6 @@ class TestParser:
          "neither aggregated nor"),
         ("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY",
          "at least one"),
-        ("SELECT ?s WHERE { ?s ?p ?o } GROUP BY ?s", "without an aggregate"),
         ("SELECT ?s WHERE { ?s ?p 1.5 }", "only integer"),
         ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s ~ 3) }", "unexpected"),
         ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s = ?o) }",
@@ -374,6 +373,63 @@ class TestExecution:
         with pytest.raises(SparqlError, match=msg):
             parse_sparql(bad)
 
+    def test_subquery_join(self, tiny):
+        # classic nested aggregation: people who know someone, joined
+        # with their age-group restriction computed in a subquery
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?o WHERE {
+              ?s x:knows ?o .
+              { SELECT ?s WHERE { ?s x:age ?a } GROUP BY ?s
+                HAVING(COUNT(?a) >= 1) }
+            }
+        """)
+        assert sp == du and len(sp) == 2
+        # subquery-only WHERE (restriction pushed entirely down)
+        sp2, du2 = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s WHERE {
+              { SELECT DISTINCT ?s WHERE { ?s x:likes ?d } }
+            }
+        """)
+        assert sp2 == du2 and {r[0] for r in sp2} == {
+            "<http://x/a>", "<http://x/b>"}
+
+    def test_subquery_aggregate_inner(self, tiny):
+        # inner aggregate feeding the outer pattern: entity ages joined
+        # with per-subject knows-count from a subquery
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?a ?nk WHERE {
+              ?s x:age ?a .
+              { SELECT ?s (COUNT(?o) AS ?nk) WHERE { ?s x:knows ?o }
+                GROUP BY ?s }
+            }
+        """)
+        assert sp == du and len(sp) == 2
+        assert {(r[0], r[2]) for r in sp} == {
+            ("<http://x/a>", 1), ("<http://x/b>", 1)}
+
+    def test_subquery_rejects(self, tiny):
+        with pytest.raises(SparqlError, match="only . SELECT"):
+            parse_sparql("SELECT ?s WHERE { ?s ?p ?o . { ?x ?y ?z } }")
+        with pytest.raises(SparqlError, match="shares no variable"):
+            sparql_select(tiny, """
+                PREFIX x: <http://x/>
+                SELECT ?s WHERE {
+                  ?s x:age ?a .
+                  { SELECT ?zz WHERE { ?zz x:label ?l } } }
+            """)
+
+    def test_group_by_without_select_aggregate(self, tiny):
+        # the DISTINCT-keys + HAVING shape
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?a WHERE { ?s x:age ?a } GROUP BY ?a
+            HAVING(COUNT(*) > 1)
+        """)
+        assert sp == du and len(sp) == 1
+
     def test_bind(self, tiny):
         sp, du = _both(tiny, """
             PREFIX x: <http://x/>
@@ -539,7 +595,7 @@ class TestExecution:
 
     @pytest.mark.parametrize("bad, msg", [
         ("SELECT ?s WHERE { ?s ?p ?o } HAVING(COUNT(*) > 1)",
-         "requires an aggregate"),
+         "requires aggregation"),
         ("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING(?m > 1)",
          "unknown alias"),
         ("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } HAVING(?n > \"x\")",
