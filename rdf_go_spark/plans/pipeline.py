@@ -524,6 +524,34 @@ def kg_sparql_entity_tools_oracle_sql(n_conv: int) -> str:
     return sparql_sql(_SPARQL_ENTITY_TOOLS, kg_triples_oracle_sql(n_conv))
 
 
+_SPARQL_SUBQUERY = """
+PREFIX v: <http://example.org/v/>
+SELECT ?c ?e WHERE {
+  ?c v:hasTurn ?t .
+  ?t v:mentions ?e .
+  { SELECT ?c WHERE { ?c v:hasTurn ?t2 } GROUP BY ?c
+    HAVING(COUNT(?t2) >= 6) }
+}
+"""
+
+
+def kg_sparql_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested { SELECT }: entity mentions restricted to LONG
+    conversations, where the keyset (conversations with ≥6 turns) is
+    computed by an aggregating subquery and joined on ?c — the classic
+    SPARQL nested-aggregation shape, evaluated bottom-up and joined as
+    a DataFrame equi-join (Catalyst broadcasts the small keyset)."""
+    from ..operators.sparql import sparql_select
+
+    return sparql_select(_query_graph(spark, sf_dir), _SPARQL_SUBQUERY)
+
+
+def kg_sparql_subquery_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    return sparql_sql(_SPARQL_SUBQUERY, kg_triples_oracle_sql(n_conv))
+
+
 _SPARQL_GRAPH_Q = """
 PREFIX v: <http://example.org/v/>
 SELECT ?g (COUNT(*) AS ?n_mentions) (COUNT(DISTINCT ?e) AS ?n_entities)
