@@ -11,16 +11,18 @@ Grammar (subset of SPARQL 1.1 §9.1, recursive descent below)::
 
     path    := seq ('|' seq)*            alternation (lowest precedence)
     seq     := step ('/' step)*          sequence
-    step    := '^' step | primary ('+')*
+    step    := '^' step | primary ('+' | '{' n ',' m '}')*
     primary := '<iri>' | '(' path ')'
 
 Supported operators: ``/`` sequence, ``|`` alternation, ``^`` inverse,
-``+`` one-or-more, parentheses. ``*`` and ``?`` are deliberately
-omitted: their zero-length component relates EVERY term in the graph to
-itself (SPARQL 1.1 §18.4 ZeroLengthPath), which is a full node-universe
+``+`` one-or-more, bounded repetition ``{n,m}`` (1 ≤ n ≤ m ≤ 10 — the
+"up to k hops" idiom, expanded to a union of k-fold compositions),
+parentheses. ``*`` and ``?`` are deliberately omitted: their
+zero-length component relates EVERY term in the graph to itself
+(SPARQL 1.1 §18.4 ZeroLengthPath), which is a full node-universe
 materialization — at 100 TB that is a table scan per occurrence, and no
 driver workload needs it. Rejected with a clear error instead of a
-surprising plan.
+surprising plan; ``{0,m}`` is rejected for the same zero-length reason.
 
 Semantics: ``path_pairs`` returns the DISTINCT (src, dst) node pairs
 connected by the path — set semantics, matching SPARQL's definition for
@@ -37,8 +39,12 @@ from typing import List, Tuple, Union
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# AST: ("iri", s) | ("inv", p) | ("seq", a, b) | ("alt", a, b) | ("plus", p)
+# AST: ("iri", s) | ("inv", p) | ("seq", a, b) | ("alt", a, b)
+#      | ("plus", p) | ("rep", p, n, m)
 Ast = Tuple
+
+MAX_REP = 10   # {n,m} expansion bound: m-fold join chains beyond this
+               # deserve the + closure, not an unrolled plan
 
 
 def _tokenize(path: str) -> List[str]:
@@ -54,9 +60,15 @@ def _tokenize(path: str) -> List[str]:
                 raise ValueError(f"unterminated IRI in path: {path[i:]!r}")
             toks.append(path[i:j + 1])
             i = j + 1
-        elif c in "/|^+()":
+        elif c in "/|^+(){},":
             toks.append(c)
             i += 1
+        elif c.isdigit():
+            j = i
+            while j < n and path[j].isdigit():
+                j += 1
+            toks.append(path[i:j])
+            i = j
         else:
             raise ValueError(f"unexpected {c!r} in path {path!r} "
                              f"(supported: <iri> / | ^ + parentheses)")
@@ -103,9 +115,30 @@ class _Parser:
             self.take()
             return ("inv", self.step())
         node = self.primary()
-        while self.peek() == "+":
-            self.take()
-            node = ("plus", node)
+        while self.peek() in ("+", "{"):
+            if self.take() == "+":
+                node = ("plus", node)
+                continue
+            lo = self.take()
+            if not lo.isdigit():
+                raise ValueError(f"{{n,m}} needs integers, got {lo!r}")
+            if self.take() != ",":
+                raise ValueError("{n,m} needs a comma")
+            hi = self.take()
+            if not hi.isdigit():
+                raise ValueError(f"{{n,m}} needs integers, got {hi!r}")
+            if self.take() != "}":
+                raise ValueError("missing '}' in {n,m}")
+            n_, m_ = int(lo), int(hi)
+            if n_ < 1:
+                raise ValueError(
+                    "{0,m} is not supported: the zero-length component "
+                    "relates every graph term to itself")
+            if m_ < n_ or m_ > MAX_REP:
+                raise ValueError(
+                    f"{{n,m}} needs 1 <= n <= m <= {MAX_REP}, got "
+                    f"{{{n_},{m_}}} (use + for unbounded)")
+            node = ("rep", node, n_, m_)
         return node
 
     def primary(self) -> Ast:
@@ -137,8 +170,27 @@ def is_path(pred: str) -> bool:
                 and ">" not in s[1:-1])
 
 
+def _rep_expand(ast: Ast) -> Ast:
+    """{n,m} → alternation of k-fold sequences (k in [n, m]) — bounded
+    unrolling; Catalyst/DuckDB reuse the inner relation's scan."""
+    inner, n_, m_ = ast[1], ast[2], ast[3]
+
+    def k_fold(k: int) -> Ast:
+        node = inner
+        for _ in range(k - 1):
+            node = ("seq", node, inner)
+        return node
+
+    out = k_fold(n_)
+    for k in range(n_ + 1, m_ + 1):
+        out = ("alt", out, k_fold(k))
+    return out
+
+
 def _compile_df(ast: Ast, base: DataFrame) -> DataFrame:
     kind = ast[0]
+    if kind == "rep":
+        return _compile_df(_rep_expand(ast), base)
     if kind == "iri":
         return (base.filter(F.col("pred") == ast[1])
                 .select(F.col("subj").alias("src"),
@@ -173,6 +225,8 @@ def path_pairs(triples: DataFrame, path: str) -> DataFrame:
 
 def _compile_sql(ast: Ast, base_name: str) -> str:
     kind = ast[0]
+    if kind == "rep":
+        return _compile_sql(_rep_expand(ast), base_name)
     if kind == "iri":
         iri = ast[1].replace("'", "''")
         return (f"(SELECT subj AS src, obj AS dst FROM {base_name} "

@@ -24,6 +24,7 @@ Supported subset (documented, rejected-with-error beyond it)::
     WHERE {
       ?s <p> ?o .                           triple patterns, ; and , lists
       ?s pfx:p/pfx:q+ ?o .                  property paths (/ | ^ +)
+      ?s pfx:p{1,3} ?o .                    bounded repetition (<=10)
       ?s a ?type .                          'a' = rdf:type
       OPTIONAL { ... }                      left join
       FILTER(?i > 3)  FILTER(bound(?x))     =, !=, <, <=, >, >=, [!]bound
@@ -355,9 +356,22 @@ class _Parser:
             self.take()
             return "^" + self._path_step()
         s = self._path_primary()
-        while self.at_op("+"):
-            self.take()
-            s += "+"
+        while True:
+            if self.at_op("+"):
+                self.take()
+                s += "+"
+            elif self.at_op("{") and self.peek(1) is not None \
+                    and self.peek(1).kind == "int":
+                self.take()
+                lo = self.take()
+                self.expect_op(",")
+                hi = self.take()
+                if lo.kind != "int" or hi.kind != "int":
+                    raise SparqlError("{n,m} needs integers")
+                self.expect_op("}")
+                s += f"{{{lo.val},{hi.val}}}"
+            else:
+                break
         if self.at_op("*"):
             raise SparqlError(
                 "path operator '*' is unsupported (zero-length path = "

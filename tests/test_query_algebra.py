@@ -105,9 +105,31 @@ class TestPathPairs:
         got = _pairs(path_pairs(tiny, "<p>+/<q>"))
         assert got == {("<a>", "<d>"), ("<b>", "<d>"), ("<c>", "<d>")}
 
+    def test_bounded_repetition(self, tiny):
+        # p{1,2} on the a->b->c->a cycle: 1 hop + 2 hops
+        got = _pairs(path_pairs(tiny, "<p>{1,2}"))
+        one = {("<a>", "<b>"), ("<b>", "<c>"), ("<c>", "<a>")}
+        two = {("<a>", "<c>"), ("<b>", "<a>"), ("<c>", "<b>")}
+        assert got == one | two
+        assert _pairs(path_pairs(tiny, "<p>{2,2}")) == two
+        # {3,3} closes the cycle
+        assert _pairs(path_pairs(tiny, "<p>{3,3}")) == {
+            (n, n) for n in ("<a>", "<b>", "<c>")}
+
+    @pytest.mark.parametrize("bad, msg", [
+        ("<p>{0,2}", "zero-length"),
+        ("<p>{3,2}", "1 <= n <= m"),
+        ("<p>{1,99}", "1 <= n <= m"),
+        ("<p>{1 2}", "needs a comma"),
+        ("<p>{x,2}", "unexpected"),
+    ])
+    def test_repetition_rejects(self, bad, msg):
+        with pytest.raises(ValueError, match=msg):
+            parse_path(bad)
+
     @pytest.mark.parametrize("expr", [
         "<p>", "^<q>", "<p>/<q>", "<p>|<q>", "<p>+", "(<p>/<q>)|^<r>",
-        "<p>+/<q>", "^<p>/(<q>|<age>)",
+        "<p>+/<q>", "^<p>/(<q>|<age>)", "<p>{1,3}", "(<p>|<q>){1,2}",
     ])
     def test_sql_twin_matches(self, tiny, expr):
         spark_rows = _pairs(path_pairs(tiny, expr))

@@ -158,6 +158,17 @@ class TestExecution:
         # nothing -> only (a,d)
         assert sp == [("<http://x/a>", "<http://x/d>")]
 
+    def test_bounded_repetition_in_sparql(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?o WHERE { ?s x:knows{1,2} ?o }
+        """)
+        assert sp == du
+        # knows: a->b->c (no cycle): 1-hop pairs + the single 2-hop
+        assert set(sp) == {("<http://x/a>", "<http://x/b>"),
+                           ("<http://x/b>", "<http://x/c>"),
+                           ("<http://x/a>", "<http://x/c>")}
+
     def test_aggregates_group_order(self, tiny):
         sp, du = _both(tiny, """
             PREFIX x: <http://x/>
