@@ -12,7 +12,11 @@ Grammar (subset of SPARQL 1.1 §9.1, recursive descent below)::
     path    := seq ('|' seq)*            alternation (lowest precedence)
     seq     := step ('/' step)*          sequence
     step    := '^' step | primary ('+' | '{' n ',' m '}')*
-    primary := '<iri>' | '(' path ')'
+    primary := '<iri>' | '(' path ')' | '!' '(' <iri> ('|' <iri>)* ')'
+
+``!(<p>|<q>)`` is the negated property set (forward form): every edge
+whose predicate is NOT in the set — a pred-NOT-IN filter, scan-level
+cheap (no negated-inverse mixing).
 
 Supported operators: ``/`` sequence, ``|`` alternation, ``^`` inverse,
 ``+`` one-or-more, bounded repetition ``{n,m}`` (1 ≤ n ≤ m ≤ 10 — the
@@ -60,7 +64,7 @@ def _tokenize(path: str) -> List[str]:
                 raise ValueError(f"unterminated IRI in path: {path[i:]!r}")
             toks.append(path[i:j + 1])
             i = j + 1
-        elif c in "/|^+(){},":
+        elif c in "/|^+(){},!":
             toks.append(c)
             i += 1
         elif c.isdigit():
@@ -143,6 +147,24 @@ class _Parser:
 
     def primary(self) -> Ast:
         t = self.take()
+        if t == "!":
+            if self.take() != "(":
+                raise ValueError("negated property set needs '!(...)'")
+            iris = []
+            while True:
+                it = self.take()
+                if not it.startswith("<"):
+                    raise ValueError(
+                        f"negated property set takes plain IRIs, got "
+                        f"{it!r}")
+                iris.append(it)
+                nxt = self.take()
+                if nxt == ")":
+                    break
+                if nxt != "|":
+                    raise ValueError(
+                        f"expected '|' or ')' in !(...), got {nxt!r}")
+            return ("nps", tuple(iris))
         if t == "(":
             node = self.alt()
             if self.take() != ")":
@@ -195,6 +217,10 @@ def _compile_df(ast: Ast, base: DataFrame) -> DataFrame:
         return (base.filter(F.col("pred") == ast[1])
                 .select(F.col("subj").alias("src"),
                         F.col("obj").alias("dst")))
+    if kind == "nps":
+        return (base.filter(~F.col("pred").isin(list(ast[1])))
+                .select(F.col("subj").alias("src"),
+                        F.col("obj").alias("dst")))
     if kind == "inv":
         inner = _compile_df(ast[1], base)
         return inner.select(F.col("dst").alias("src"),
@@ -231,6 +257,11 @@ def _compile_sql(ast: Ast, base_name: str) -> str:
         iri = ast[1].replace("'", "''")
         return (f"(SELECT subj AS src, obj AS dst FROM {base_name} "
                 f"WHERE pred = '{iri}')")
+    if kind == "nps":
+        in_list = ", ".join(
+            "'" + i.replace("'", "''") + "'" for i in ast[1])
+        return (f"(SELECT subj AS src, obj AS dst FROM {base_name} "
+                f"WHERE pred NOT IN ({in_list}))")
     if kind == "inv":
         return (f"(SELECT dst AS src, src AS dst FROM "
                 f"{_compile_sql(ast[1], base_name)} inv_t)")

@@ -380,6 +380,25 @@ class _Parser:
 
     def _path_primary(self) -> str:
         t = self.take()
+        if t.kind == "op" and t.val == "!":
+            self.expect_op("(")
+            iris = []
+            while True:
+                it = self.take()
+                if it.kind == "iri":
+                    iris.append(it.val)
+                elif it.kind == "pname":
+                    iris.append(self._expand_pname(it.val))
+                elif it.kind == "kw" and it.val == "A":
+                    iris.append(RDF_TYPE)
+                else:
+                    raise SparqlError(
+                        "negated property set takes IRIs/prefixed names")
+                if self.at_op(")"):
+                    self.take()
+                    break
+                self.expect_op("|")
+            return "!(" + "|".join(iris) + ")"
         if t.kind == "op" and t.val == "(":
             inner = self._path()
             self.expect_op(")")

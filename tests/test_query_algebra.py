@@ -127,9 +127,17 @@ class TestPathPairs:
         with pytest.raises(ValueError, match=msg):
             parse_path(bad)
 
+    def test_negated_property_set(self, tiny):
+        got = _pairs(path_pairs(tiny, "!(<p>|<age>)"))
+        # everything except p- and age-edges: the q edges and the r edge
+        assert got == {("<a>", "<d>"), ("<b>", "<d>"), ("<d>", '"five"')}
+        with pytest.raises(ValueError, match="unexpected"):
+            parse_path("!(<p>|x)")
+
     @pytest.mark.parametrize("expr", [
         "<p>", "^<q>", "<p>/<q>", "<p>|<q>", "<p>+", "(<p>/<q>)|^<r>",
         "<p>+/<q>", "^<p>/(<q>|<age>)", "<p>{1,3}", "(<p>|<q>){1,2}",
+        "!(<p>)", "!(<p>|<q>)/<r>",
     ])
     def test_sql_twin_matches(self, tiny, expr):
         spark_rows = _pairs(path_pairs(tiny, expr))

@@ -169,6 +169,15 @@ class TestExecution:
                            ("<http://x/b>", "<http://x/c>"),
                            ("<http://x/a>", "<http://x/c>")}
 
+    def test_negated_property_set_in_sparql(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?o WHERE { ?s !(x:knows|x:age|a) ?o }
+        """)
+        assert sp == du
+        # likes and label edges survive the negation
+        assert len(sp) == 3
+
     def test_aggregates_group_order(self, tiny):
         sp, du = _both(tiny, """
             PREFIX x: <http://x/>
