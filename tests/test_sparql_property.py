@@ -104,10 +104,20 @@ def path_exprs(draw, depth=2):
     — keep the per-example cost bounded)."""
     def node(d, plus_budget):
         kind = draw(st.sampled_from(
-            ["iri", "iri", "seq", "alt", "inv"]
+            ["iri", "iri", "seq", "alt", "inv", "nps", "rep"]
             + (["plus"] if plus_budget else [])))
         if d <= 0 or kind == "iri":
             return draw(st.sampled_from(PREDS)), plus_budget
+        if kind == "nps":
+            n = draw(st.integers(1, 2))
+            return "!(" + "|".join(
+                draw(st.sampled_from(PREDS)) for _ in range(n)) + ")", \
+                plus_budget
+        if kind == "rep":
+            lo = draw(st.integers(1, 2))
+            hi = lo + draw(st.integers(0, 2))
+            inner, pb = node(d - 1, 0)
+            return f"({inner}){{{lo},{hi}}}", plus_budget
         if kind == "inv":
             inner, pb = node(d - 1, plus_budget)
             return f"^({inner})", pb
