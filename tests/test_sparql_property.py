@@ -143,17 +143,24 @@ def test_random_path_matches_sql_twin(spark, edges, expr):
     assert spark_rows == duck_rows
 
 
+def _nullsafe_sort(rows):
+    # None (unmatched OPTIONAL) is not orderable against str — sort by
+    # (is-null, value) per column
+    return sorted(rows, key=lambda t: tuple(
+        (v is None, v if v is not None else "") for v in t))
+
+
 @settings(max_examples=25, deadline=None)
 @given(edges=EDGES, q=bgps())
 def test_random_bgp_matches_sql_twin(spark, edges, q):
     df = spark.createDataFrame(edges, ["subj", "pred", "obj"])
     sdf = bgp_match(df, **q)
     cols = sorted(sdf.columns)
-    spark_rows = sorted(
+    spark_rows = _nullsafe_sort(
         tuple(row[c] for c in cols) for row in sdf.collect())
     kw = dict(q)
     rel = duckdb.sql(bgp_sql(kw.pop("patterns"), _cte(edges), **kw))
     idx = [rel.columns.index(c) for c in cols]
-    duck_rows = sorted(
+    duck_rows = _nullsafe_sort(
         tuple(r[i] for i in idx) for r in rel.fetchall())
     assert spark_rows == duck_rows
