@@ -46,6 +46,12 @@ def main() -> None:
                 g, P._SPARQL_CONSTRUCT),
             "sparql_describe": lambda: sparql_select(
                 g, P._SPARQL_DESCRIBE),
+            "sparql_builtins": lambda: sparql_select(
+                g, P._SPARQL_BUILTINS),
+            "sparql_entity_tools": lambda: sparql_select(
+                g, P._SPARQL_ENTITY_TOOLS),
+            "sparql_subquery": lambda: sparql_select(
+                g, P._SPARQL_SUBQUERY),
         }
 
     # warm-up at smoke scale: codegen + python workers + closure rounds
