@@ -186,6 +186,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rdf_parse_quarantine": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .rdf_parse_quarantine(s, d)),
+    "rdf_parse_graphs": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .rdf_parse_graphs(s, d)),
     "kg_partition_metrics": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_partition_metrics(s, d)),

@@ -14,7 +14,8 @@ from .pipeline import (
     kg_sparql_select_oracle_sql, kg_sparql_subquery_oracle_sql,
     kg_triples_oracle_sql,
     kg_bgp_match_oracle_sql, kg_turn_reachability_oracle_sql,
-    kg_two_hop_oracle_sql, rdf_parse_multiformat_oracle_sql,
+    kg_two_hop_oracle_sql, rdf_parse_graphs_oracle_sql,
+    rdf_parse_multiformat_oracle_sql,
     rdf_parse_quarantine_oracle_sql,
 )
 
@@ -26,6 +27,7 @@ def kg_oracles(n_conv: int) -> dict[str, str]:
         "kg_export_ntriples": kg_export_ntriples_oracle_sql(n_conv),
         "rdf_parse_multiformat": rdf_parse_multiformat_oracle_sql(n_conv),
         "rdf_parse_quarantine": rdf_parse_quarantine_oracle_sql(n_conv),
+        "rdf_parse_graphs": rdf_parse_graphs_oracle_sql(n_conv),
         "kg_partition_metrics": kg_partition_metrics_oracle_sql(n_conv),
         "kg_entity_link_scored": kg_entity_link_scored_oracle_sql(n_conv),
         "kg_two_hop": kg_two_hop_oracle_sql(n_conv),

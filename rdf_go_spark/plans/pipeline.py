@@ -117,6 +117,52 @@ FROM fmts
 """.strip()
 
 
+def rdf_parse_graphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TriG parse → real named-graph QUADS → SPARQL GRAPH
+    query: one synthetic TriG document per conversation with two graph
+    blocks (per-role provenance graphs), parsed by the TriG kernel
+    inside mapInPandas; the per-graph stats then aggregate through a
+    GRAPH ?g block — the quad path exercised end-to-end from document
+    text to query answer."""
+    from pyspark.sql import functions as F
+
+    from ..operators.parse_spark import parse_rdf_documents, triples_of
+    from ..operators.sparql import sparql_select
+    from ..sources.transcripts import n_conv_for_sf_dir
+
+    n = n_conv_for_sf_dir(sf_dir)
+    base = spark.range(0, n).select(
+        F.format_string("conv-%06d", F.col("id")).alias("doc_key"),
+        (F.col("id") % 8 + 1).cast("int").alias("n_turns"))
+    text = F.format_string(
+        "@prefix g: <http://example.org/g/> .\n"
+        "@prefix v: <http://example.org/v/> .\n"
+        "g:user { <http://example.org/conv/%s> v:turns %d . }\n"
+        "g:tool { <http://example.org/conv/%s> v:turns %d . }\n",
+        F.col("doc_key"), F.col("n_turns"),
+        F.col("doc_key"), F.col("n_turns") % 3)
+    docs = base.withColumn("text", text)
+    quads = triples_of(parse_rdf_documents(docs, fmt="trig")) \
+        .select("graph", "subj", "pred", "obj")
+    return sparql_select(quads, """
+        SELECT ?g (COUNT(*) AS ?n_triples)
+               (COUNT(DISTINCT ?s) AS ?n_subjects)
+        WHERE { GRAPH ?g { ?s ?p ?o } } GROUP BY ?g
+    """)
+
+
+def rdf_parse_graphs_oracle_sql(n_conv: int) -> str:
+    return f"""
+SELECT g, n_triples, n_subjects FROM (
+  SELECT '<http://example.org/g/user>' AS g,
+         {n_conv}::BIGINT AS n_triples, {n_conv}::BIGINT AS n_subjects
+  UNION ALL
+  SELECT '<http://example.org/g/tool>',
+         {n_conv}::BIGINT, {n_conv}::BIGINT
+) t
+""".strip()
+
+
 def kg_entity_link_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity-link scoring with an ambiguous candidate dictionary: pick
     the argmax-prior candidate per mention (north star: "batched mention
