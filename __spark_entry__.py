@@ -97,12 +97,11 @@ def _training_data_queries():
             _docs(s, d), fractions=SAMPLE_FRACTIONS),
         "corpus_mix_report": lambda s, d: sampling.corpus_mix_report(
             _docs(s, d)),
-        # text analysis
-        "doc_token_stats": lambda s, d: textstats.token_stats(_docs(s, d)),
-        "doc_lang_id": lambda s, d: textstats.lang_id(_docs(s, d)),
-        "doc_fingerprint": lambda s, d: textstats.fingerprint(_docs(s, d)),
-        "doc_bpe_tokens": lambda s, d: textstats.bpe_token_stats(_docs(s, d)),
-        "doc_rolling_fp": lambda s, d: textstats.rolling_fingerprint(_docs(s, d)),
+        # text analysis — all five profile operators (token/quality
+        # stats, BPE pieces, lang-ID, md5 fingerprint, rolling hash)
+        # fused into ONE corpus scan; each remains individually
+        # oracle-tested in tests/test_training_ops.py
+        "doc_text_profile": lambda s, d: textstats.text_profile(_docs(s, d)),
         "doc_exact_dedup": lambda s, d: textstats.exact_dedup(_docs(s, d)),
         # near-dup detection
         # df-capped candidates (scale guard for hot shingles); exact
@@ -165,24 +164,16 @@ def _q_rdf_parse_multiformat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdf_parse_multiformat(spark, sf_dir)
 
 
-def _q_kg_canonical_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonicalization stage idempotence: re-canonicalizing the (already
-    canonical) graph must reproduce it exactly — the oracle is the
-    kg_triples oracle itself."""
-    from rdf_go_spark.operators.canonicalize import (
-        canonical_only, canonicalize_triples,
-    )
-    return canonical_only(canonicalize_triples(kg_triples(spark, sf_dir)))
-
-
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_triples": _q_kg_triples,
     "kg_conversation_stats": _q_kg_conversation_stats,
     "kg_entity_mentions": _q_kg_entity_mentions,
     "kg_turn_text_roundtrip": _q_kg_turn_text_roundtrip,
+    # kg_export_ntriples routes through a second canonicalization pass
+    # (plans/pipeline.py) — this one hash row checks encoder line shape
+    # AND canonicalization idempotence (formerly kg_canonical_roundtrip)
     "kg_export_ntriples": _q_kg_export_ntriples,
     "rdf_parse_multiformat": _q_rdf_parse_multiformat,
-    "kg_canonical_roundtrip": _q_kg_canonical_roundtrip,
     "rdf_parse_quarantine": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .rdf_parse_quarantine(s, d)),
@@ -222,9 +213,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_builtins": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_sparql_builtins(s, d)),
-    "kg_sparql_entity_tools": (lambda s, d: __import__(
-        "rdf_go_spark.plans.pipeline", fromlist=["x"])
-        .kg_sparql_entity_tools(s, d)),
     "kg_sparql_subquery": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_sparql_subquery(s, d)),
@@ -259,11 +247,7 @@ def _build_oracles() -> dict[str, str]:
     oracles["kg_streaming_prev_turn"] = \
         _streaming.kg_streaming_prev_turn_oracle_sql(N_CONV_ORACLE)
     oracles.update({
-        "doc_token_stats": textstats.token_stats_oracle(),
-        "doc_lang_id": textstats.lang_id_oracle(),
-        "doc_fingerprint": textstats.fingerprint_oracle(),
-        "doc_bpe_tokens": textstats.bpe_token_stats_oracle(),
-        "doc_rolling_fp": textstats.rolling_fingerprint_oracle(),
+        "doc_text_profile": textstats.text_profile_oracle(),
         "doc_exact_dedup": textstats.exact_dedup_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(max_df=100),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),

@@ -34,7 +34,7 @@ def main() -> None:
         "kg_two_hop", "kg_property_path",
         "dedup_minhash_lsh", "dedup_minhash_k128", "dedup_simhash",
         "emb_cosine_topk",
-        "doc_token_stats", "pricing_summary", "top_customers",
+        "doc_text_profile", "pricing_summary", "top_customers",
         "sessionize_events",
     ]
     subset = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")

@@ -462,7 +462,11 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
                 raise ValueError(
                     "property paths inside GRAPH are not supported")
             from .paths import _compile_sql, parse_path
-            rel = f"{_compile_sql(parse_path(p), base_name)}"
+            # path_pairs() applies .distinct() on the Spark side (set
+            # semantics per SPARQL 1.1 §18.4) — the twin must too, or a
+            # pair reachable via two intermediate witnesses duplicates
+            rel = (f"(SELECT DISTINCT src, dst FROM "
+                   f"{_compile_sql(parse_path(p), base_name)} pt)")
             terms = [("src", s), ("dst", o)]
         else:
             rel = base_name

@@ -204,6 +204,74 @@ FROM t
 """.strip()
 
 
+def text_profile(docs: DataFrame) -> DataFrame:
+    """All five per-document text-analysis operators in ONE scan:
+    token/quality stats, BPE-piece accounting, language-ID, normalized
+    fingerprint, and the order-sensitive rolling hash. Every column is
+    a pure JVM expression over the same ``text`` value, so fusing them
+    costs nothing and saves four extra scans of the corpus — at 100 TB
+    the scan IS the cost, so profile passes must be single-scan."""
+    from .dedup import _hash31
+
+    toks = F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), "")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = F.size(F.split(F.col("text"), _PUNCT_RE)) - 1
+    punct_ratio = F.round(n_punct / F.greatest(n_chars, F.lit(1)), 6)
+    quality = F.round(
+        F.least(n_tokens / F.lit(100.0), F.lit(1.0)) * (1 - punct_ratio), 6)
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    n_pieces = F.size(pieces)
+    hits = F.size(F.split(F.lower(F.col("text")), _EN_RE)) - 1
+    sw_ratio = F.round(hits / F.greatest(n_tokens, F.lit(1)), 6)
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), _TOKEN_RE, " "))
+    hashes = F.transform(toks, lambda t: _hash31(t))
+    roll = F.aggregate(
+        hashes, F.lit(0).cast("long"),
+        lambda acc, x: F.pmod(acc * ROLL_B + x, F.lit(ROLL_M)))
+    return docs.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars_computed"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality"),
+        n_pieces.alias("n_pieces"),
+        F.round(n_pieces / F.greatest(n_tokens, F.lit(1)), 6)
+        .alias("fertility"),
+        F.round(n_chars / F.greatest(n_pieces, F.lit(1)), 6)
+        .alias("chars_per_piece"),
+        hits.alias("sw_hits"),
+        sw_ratio.alias("sw_ratio"),
+        F.when(sw_ratio >= 0.05, F.lit("en")).otherwise(F.lit("unk"))
+        .alias("lang_pred"),
+        F.md5(norm).alias("fp"),
+        roll.alias("roll_fp"),
+    )
+
+
+def text_profile_oracle(table: str = "documents") -> str:
+    """Twin = the five per-operator oracles joined on doc_id (DuckDB
+    flattens the CTEs; values must match the fused Spark scan exactly)."""
+    return f"""
+WITH tok AS ({token_stats_oracle(table)}),
+     bpe AS ({bpe_token_stats_oracle(table)}),
+     lng AS ({lang_id_oracle(table)}),
+     fpr AS ({fingerprint_oracle(table)}),
+     rol AS ({rolling_fingerprint_oracle(table)})
+SELECT tok.doc_id, lng.lang, tok.n_tokens, tok.n_chars_computed,
+       tok.punct_ratio, tok.quality, bpe.n_pieces,
+       round(bpe.n_pieces * 1.0 / greatest(tok.n_tokens, 1), 6)
+         AS fertility,
+       bpe.chars_per_piece, lng.sw_hits, lng.sw_ratio, lng.lang_pred,
+       fpr.fp, rol.roll_fp
+FROM tok
+JOIN bpe ON tok.doc_id = bpe.doc_id
+JOIN lng ON tok.doc_id = lng.doc_id
+JOIN fpr ON tok.doc_id = fpr.doc_id
+JOIN rol ON tok.doc_id = rol.doc_id
+""".strip()
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by content fingerprint: keep min doc_id,
     count group size. hash-groupBy — one shuffle on the fingerprint,

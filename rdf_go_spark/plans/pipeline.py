@@ -28,10 +28,16 @@ def kg_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kg_export_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Canonical N-Triples export of the graph (rdf/ntriples.go:613-626
-    line shape; terms are already canonical strings)."""
+    """Canonical N-Triples export of the RE-canonicalized graph
+    (rdf/ntriples.go:613-626 line shape). Routing the export through a
+    second canonicalization pass makes one hash check pin BOTH the
+    encoder line shape AND canonicalization idempotence: the oracle is
+    the plain single-pass export, so any term the second pass rewrites
+    mismatches."""
     from pyspark.sql import functions as F
-    t = kg_triples(spark, sf_dir)
+
+    from ..operators.canonicalize import canonical_only, canonicalize_triples
+    t = canonical_only(canonicalize_triples(kg_triples(spark, sf_dir)))
     return t.select(
         F.concat_ws(" ", "subj", "pred", "obj", F.lit(".")).alias("line"),
         "conv_id", "turn_idx")
@@ -501,27 +507,35 @@ def kg_sparql_describe_oracle_sql(n_conv: int) -> str:
 _SPARQL_BUILTINS = """
 PREFIX v: <http://example.org/v/>
 PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
-SELECT ?tool (COUNT(*) AS ?n_turns) (MAX(?i) AS ?max_idx)
+SELECT ?e (GROUP_CONCAT(DISTINCT ?tool; SEPARATOR="|") AS ?tools)
+       (SAMPLE(?t) AS ?sample_turn) (COUNT(*) AS ?n_tool_turns)
+       (MAX(?i) AS ?max_idx)
 WHERE {
-  ?t v:tool ?tool ;
+  ?t v:mentions ?e ;
+     v:tool ?tool ;
      v:at ?at ;
      v:index ?i .
   VALUES ?tool { "search" "code" }
   FILTER(DATATYPE(?at) = xsd:dateTime)
   FILTER(CONTAINS(?tool, "e"))
   FILTER(LANG(?tool) != "en")
+  FILTER(EXISTS { ?t v:prevTurn ?p })
 }
-GROUP BY ?tool
+GROUP BY ?e
 """
 
 
 def kg_sparql_builtins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SPARQL FILTER built-ins end-to-end: VALUES inline restriction,
-    DATATYPE on the canonical dateTime literal, CONTAINS over the STR
-    lexical form, LANG on an untagged literal (extracts '' → the !=
-    keeps the row) — per-tool turn counts. All built-ins evaluate as
-    JVM column expressions over the canonical term strings; the DuckDB
-    twin uses the identical regex extractions.
+    """SPARQL FILTER built-ins + string aggregates end-to-end in one
+    per-entity tool profile (merges the former kg_sparql_entity_tools
+    driver entry): VALUES inline restriction, DATATYPE on the canonical
+    dateTime literal, CONTAINS over the STR lexical form, LANG on an
+    untagged literal (extracts '' → the != keeps the row), a correlated
+    FILTER EXISTS semi join (turns with a predecessor), GROUP_CONCAT
+    (DISTINCT; sorted — the cross-engine determinism rule), and a
+    deterministic SAMPLE. All built-ins evaluate as JVM column
+    expressions over the canonical term strings; the DuckDB twin uses
+    the identical regex extractions.
 
     Multi-pattern → materialize-once-then-match (the kg_bgp_match
     lesson: constant pred filters cannot prune the extraction's
@@ -536,38 +550,6 @@ def kg_sparql_builtins_oracle_sql(n_conv: int) -> str:
     from ..operators.sparql import sparql_sql
 
     return sparql_sql(_SPARQL_BUILTINS, kg_triples_oracle_sql(n_conv))
-
-
-_SPARQL_ENTITY_TOOLS = """
-PREFIX v: <http://example.org/v/>
-SELECT ?e (GROUP_CONCAT(DISTINCT ?tool; SEPARATOR="|") AS ?tools)
-       (SAMPLE(?t) AS ?sample_turn) (COUNT(*) AS ?n_tool_turns)
-WHERE {
-  ?t v:mentions ?e ;
-     v:tool ?tool .
-  FILTER(EXISTS { ?t v:prevTurn ?p })
-}
-GROUP BY ?e
-"""
-
-
-def kg_sparql_entity_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-entity tool profile through the SPARQL front-end:
-    GROUP_CONCAT(DISTINCT; sorted — the cross-engine determinism rule),
-    deterministic SAMPLE, and a correlated FILTER EXISTS (tool turns
-    with a predecessor — a semi join, the scalable correlated-negation
-    family). Exercises the string-valued aggregate path end-to-end
-    against the DuckDB twin."""
-    from ..operators.sparql import sparql_select
-
-    return sparql_select(_query_graph(spark, sf_dir),
-                         _SPARQL_ENTITY_TOOLS)
-
-
-def kg_sparql_entity_tools_oracle_sql(n_conv: int) -> str:
-    from ..operators.sparql import sparql_sql
-
-    return sparql_sql(_SPARQL_ENTITY_TOOLS, kg_triples_oracle_sql(n_conv))
 
 
 _SPARQL_SUBQUERY = """

@@ -256,9 +256,11 @@ class TestBgpUnion:
         # a pattern whose predicate is a path routes through paths.py
         out = bgp_match(tiny, [("?x", "<p>+/<q>", "?d"),
                                ("?x", "<age>", "?n")])
-        assert {(r.x, r.d) for r in out.collect()} == {
-            ("<a>", "<d>"), ("<b>", "<d>")}
+        # multiset compare: the twin must carry the same DISTINCT path
+        # semantics as path_pairs, not just the same set of rows
+        assert sorted((r.x, r.d) for r in out.collect()) == [
+            ("<a>", "<d>"), ("<b>", "<d>")]
         sql = bgp_sql([("?x", "<p>+/<q>", "?d"), ("?x", "<age>", "?n")],
                       _tiny_cte())
-        duck_rows = {tuple(r)[:2] for r in duckdb.sql(sql).fetchall()}
-        assert duck_rows == {("<a>", "<d>"), ("<b>", "<d>")}
+        duck_rows = sorted(tuple(r)[:2] for r in duckdb.sql(sql).fetchall())
+        assert duck_rows == [("<a>", "<d>"), ("<b>", "<d>")]

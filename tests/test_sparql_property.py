@@ -34,7 +34,12 @@ def bgps(draw):
     pats = []
     for i in range(draw(st.integers(1, 3))):
         s = "?" + draw(st.sampled_from(pool))
-        p = draw(st.sampled_from(PREDS + [f"?pv{i}"]))
+        # include path-expression predicates (seq/alt) so the twin's
+        # DISTINCT set semantics for paths inside BGPs stays pinned
+        p = draw(st.sampled_from(
+            PREDS + [f"?pv{i}"]
+            + [f"{a}/{b}" for a in PREDS[:2] for b in PREDS[:2]]
+            + [f"{a}|{b}" for a, b in zip(PREDS, PREDS[1:])]))
         o = draw(st.sampled_from(
             OBJECTS + ["?" + v for v in pool] + [f"?o{i}"]))
         pats.append((s, p, o))

@@ -20,8 +20,7 @@ def entrymod():
 
 
 TRAINING_QUERIES = [
-    "doc_token_stats", "doc_lang_id", "doc_fingerprint", "doc_exact_dedup",
-    "doc_bpe_tokens", "doc_rolling_fp", "media_audio_frames",
+    "doc_text_profile", "doc_exact_dedup", "media_audio_frames",
     "media_video_samples", "doc_sample_stratified", "corpus_mix_report",
     "dedup_keep_list",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
@@ -457,6 +456,19 @@ class TestPlanShape:
             assert "BroadcastNestedLoopJoin" not in plan
             assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
                     or "BroadcastHashJoin" in plan), name
+
+    @pytest.mark.parametrize("op", [
+        "token_stats", "bpe_token_stats", "lang_id", "fingerprint",
+        "rolling_fingerprint"])
+    def test_textstats_operator_matches_oracle(self, spark, duck, op):
+        """The driver entry fuses the five profile operators into one
+        scan (doc_text_profile); each individual operator keeps its own
+        oracle-parity check here."""
+        from rdf_go_spark.operators import textstats
+        docs = spark.read.parquet(f"{SMOKE}/documents.parquet")
+        sdf = getattr(textstats, op)(docs)
+        ddf = duck.execute(getattr(textstats, f"{op}_oracle")()).df()
+        assert_frames_match(sdf, ddf)
 
     def test_bpe_regex_cross_engine_on_vertical_tab(self, spark):
         """Java's \\s includes \\x0B, RE2's does not — the pre-tokenizer
