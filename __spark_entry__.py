@@ -216,6 +216,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kg_sparql_subquery": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_sparql_subquery(s, d)),
+    "kg_sparql_path_star": (lambda s, d: __import__(
+        "rdf_go_spark.plans.pipeline", fromlist=["x"])
+        .kg_sparql_path_star(s, d)),
     "kg_turn_reachability": (lambda s, d: __import__(
         "rdf_go_spark.plans.pipeline", fromlist=["x"])
         .kg_turn_reachability(s, d)),

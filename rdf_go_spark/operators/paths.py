@@ -19,14 +19,28 @@ whose predicate is NOT in the set — a pred-NOT-IN filter, scan-level
 cheap (no negated-inverse mixing).
 
 Supported operators: ``/`` sequence, ``|`` alternation, ``^`` inverse,
-``+`` one-or-more, bounded repetition ``{n,m}`` (1 ≤ n ≤ m ≤ 10 — the
+``+`` one-or-more, bounded repetition ``{n,m}`` (0 ≤ n ≤ m ≤ 10 — the
 "up to k hops" idiom, expanded to a union of k-fold compositions),
-parentheses. ``*`` and ``?`` are deliberately omitted: their
-zero-length component relates EVERY term in the graph to itself
-(SPARQL 1.1 §18.4 ZeroLengthPath), which is a full node-universe
-materialization — at 100 TB that is a table scan per occurrence, and no
-driver workload needs it. Rejected with a clear error instead of a
-surprising plan; ``{0,m}`` is rejected for the same zero-length reason.
+parentheses, and the zero-length forms ``*`` / ``?`` / ``{0,m}``.
+
+Zero-length handling (SPARQL 1.1 §18.4 ZeroLengthPath): the identity
+component relates every graph node to itself — a node-universe
+materialization if evaluated naively, per occurrence. Instead the AST
+is rewritten SYMBOLICALLY by :func:`split_zero_length` into
+``path ≡ R ∪ (has_id ? I : ∅)`` using the identities::
+
+    (A ∪ I) ∘ (B ∪ I) = A∘B ∪ A ∪ B ∪ I      (seq pushes I out)
+    (A ∪ I)+           = A+ ∪ I               (closure absorbs I)
+    (A ∪ I){n,m}       = A{1,m} ∪ I           (k-fold absorbs I)
+
+so inner ``*``/``?`` never touch a node set at all; only a TOP-LEVEL
+identity survives, and it is evaluated over a caller-supplied
+restricted node set (the pattern's constant endpoint, or the values an
+enclosing BGP has already bound — the same correlation trick
+MINUS/EXISTS use), never the node universe. ``path_pairs`` on an
+unrestricted ``?x <p>* ?y`` raises instead of scanning: pass
+``id_nodes=graph_nodes(triples)`` to opt into spec node-universe
+semantics explicitly.
 
 Semantics: ``path_pairs`` returns the DISTINCT (src, dst) node pairs
 connected by the path — set semantics, matching SPARQL's definition for
@@ -44,7 +58,9 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 # AST: ("iri", s) | ("inv", p) | ("seq", a, b) | ("alt", a, b)
-#      | ("plus", p) | ("rep", p, n, m)
+#      | ("plus", p) | ("rep", p, n, m) | ("zero_or", p | None)
+# ("zero_or", p) = I ∪ p  (p* → zero_or(plus p), p? → zero_or(p),
+# p{0,m} → zero_or(rep p 1 m), p{0,0} → zero_or(None) = pure identity)
 Ast = Tuple
 
 MAX_REP = 10   # {n,m} expansion bound: m-fold join chains beyond this
@@ -64,7 +80,7 @@ def _tokenize(path: str) -> List[str]:
                 raise ValueError(f"unterminated IRI in path: {path[i:]!r}")
             toks.append(path[i:j + 1])
             i = j + 1
-        elif c in "/|^+(){},!":
+        elif c in "/|^+(){},!*?":
             toks.append(c)
             i += 1
         elif c.isdigit():
@@ -119,9 +135,16 @@ class _Parser:
             self.take()
             return ("inv", self.step())
         node = self.primary()
-        while self.peek() in ("+", "{"):
-            if self.take() == "+":
+        while self.peek() in ("+", "{", "*", "?"):
+            t = self.take()
+            if t == "+":
                 node = ("plus", node)
+                continue
+            if t == "*":
+                node = ("zero_or", ("plus", node))
+                continue
+            if t == "?":
+                node = ("zero_or", node)
                 continue
             lo = self.take()
             if not lo.isdigit():
@@ -134,15 +157,15 @@ class _Parser:
             if self.take() != "}":
                 raise ValueError("missing '}' in {n,m}")
             n_, m_ = int(lo), int(hi)
-            if n_ < 1:
-                raise ValueError(
-                    "{0,m} is not supported: the zero-length component "
-                    "relates every graph term to itself")
             if m_ < n_ or m_ > MAX_REP:
                 raise ValueError(
-                    f"{{n,m}} needs 1 <= n <= m <= {MAX_REP}, got "
+                    f"{{n,m}} needs 0 <= n <= m <= {MAX_REP}, got "
                     f"{{{n_},{m_}}} (use + for unbounded)")
-            node = ("rep", node, n_, m_)
+            if n_ == 0:
+                node = ("zero_or",
+                        ("rep", node, 1, m_) if m_ >= 1 else None)
+            else:
+                node = ("rep", node, n_, m_)
         return node
 
     def primary(self) -> Ast:
@@ -172,11 +195,6 @@ class _Parser:
             return node
         if t.startswith("<"):
             return ("iri", t)
-        if t in ("*", "?"):
-            raise ValueError(
-                f"{t!r} is not supported: its zero-length component "
-                "relates every graph term to itself — a full "
-                "node-universe scan per occurrence at 100 TB")
         raise ValueError(f"unexpected {t!r} in path {self.src!r}")
 
 
@@ -190,6 +208,75 @@ def is_path(pred: str) -> bool:
     s = pred.strip()
     return not (s.startswith("<") and s.endswith(">")
                 and ">" not in s[1:-1])
+
+
+def _alt_of(parts: List[Ast]) -> Union[Ast, None]:
+    out = None
+    for p in parts:
+        out = p if out is None else ("alt", out, p)
+    return out
+
+
+def split_zero_length(ast: Union[Ast, None]) -> Tuple[Union[Ast, None], bool]:
+    """Rewrite ``ast ≡ R ∪ (has_id ? I : ∅)`` and return
+    ``(R_ast_or_None, has_id)`` — the identity component is pushed to
+    the top symbolically (docstring algebra), so the returned R is free
+    of ``zero_or`` nodes and inner zero-length forms cost nothing."""
+    if ast is None:
+        return None, True
+    kind = ast[0]
+    if kind in ("iri", "nps"):
+        return ast, False
+    if kind == "zero_or":
+        r, _ = split_zero_length(ast[1])
+        return r, True
+    if kind == "inv":
+        r, has_id = split_zero_length(ast[1])
+        return (("inv", r) if r is not None else None), has_id
+    if kind == "seq":
+        a_r, a_id = split_zero_length(ast[1])
+        b_r, b_id = split_zero_length(ast[2])
+        parts: List[Ast] = []
+        if a_r is not None and b_r is not None:
+            parts.append(("seq", a_r, b_r))
+        if b_id and a_r is not None:
+            parts.append(a_r)
+        if a_id and b_r is not None:
+            parts.append(b_r)
+        return _alt_of(parts), a_id and b_id
+    if kind == "alt":
+        a_r, a_id = split_zero_length(ast[1])
+        b_r, b_id = split_zero_length(ast[2])
+        return _alt_of([r for r in (a_r, b_r) if r is not None]), \
+            a_id or b_id
+    if kind == "plus":
+        r, has_id = split_zero_length(ast[1])
+        # (A ∪ I)+ = A+ ∪ I — identity absorbs through the closure
+        return (("plus", r) if r is not None else None), has_id
+    if kind == "rep":
+        r, has_id = split_zero_length(ast[1])
+        if r is None:
+            return None, has_id
+        if has_id:
+            # (A ∪ I){n,m} = ∪_{k≤m} A^k = A{1,m} ∪ I
+            return ("rep", r, 1, ast[3]), True
+        return ("rep", r, ast[2], ast[3]), False
+    raise AssertionError(f"unknown path node {kind!r}")
+
+
+def has_zero_length(path: str) -> bool:
+    """True when the path's top-level relation includes the identity
+    component (``*``, ``?``, or ``{0,m}`` at top level / every branch
+    of a seq) — callers must then supply/derive a node restriction."""
+    return split_zero_length(parse_path(path))[1]
+
+
+def graph_nodes(triples: DataFrame) -> DataFrame:
+    """Spec node universe for ZeroLengthPath: every term in subject or
+    object position (one scan + one distinct — the cost zero-length
+    evaluation is guarded against; opt in explicitly)."""
+    return (triples.select(F.explode(F.array("subj", "obj")).alias("node"))
+            .distinct())
 
 
 def _rep_expand(ast: Ast) -> Ast:
@@ -211,6 +298,10 @@ def _rep_expand(ast: Ast) -> Ast:
 
 def _compile_df(ast: Ast, base: DataFrame) -> DataFrame:
     kind = ast[0]
+    if kind == "zero_or":
+        raise AssertionError(
+            "zero_or must be eliminated via split_zero_length before "
+            "compilation")
     if kind == "rep":
         return _compile_df(_rep_expand(ast), base)
     if kind == "iri":
@@ -241,16 +332,41 @@ def _compile_df(ast: Ast, base: DataFrame) -> DataFrame:
     raise AssertionError(f"unknown path node {kind!r}")
 
 
-def path_pairs(triples: DataFrame, path: str) -> DataFrame:
+def path_pairs(triples: DataFrame, path: str,
+               id_nodes: DataFrame = None) -> DataFrame:
     """DISTINCT (src, dst) pairs connected by ``path`` over the triples
     table. Inner nodes dedupe only at the top (one final shuffle);
-    ``+`` sub-paths are internally distinct already (closure)."""
+    ``+`` sub-paths are internally distinct already (closure).
+
+    ``id_nodes``: single-column DataFrame of nodes the zero-length
+    component (``*``/``?``/``{0,m}``) relates to themselves. Required
+    when the path has a top-level identity component — pass the
+    pattern's bound/constant endpoint set (restricted — the scalable
+    case) or :func:`graph_nodes` for spec node-universe semantics."""
     base = triples.select("subj", "pred", "obj")
-    return _compile_df(parse_path(path), base).distinct()
+    r_ast, has_id = split_zero_length(parse_path(path))
+    out = _compile_df(r_ast, base) if r_ast is not None else None
+    if has_id:
+        if id_nodes is None:
+            raise ValueError(
+                f"path {path!r} has a zero-length component (I ⊆ path): "
+                "pass id_nodes= with the restricted node set the "
+                "surrounding pattern binds, or graph_nodes(triples) for "
+                "explicit node-universe semantics — never implicit at "
+                "100 TB")
+        node = F.col(id_nodes.columns[0])
+        ident = id_nodes.select(node.alias("src"),
+                                node.alias("dst"))
+        out = ident if out is None else out.unionByName(ident)
+    return out.distinct()
 
 
 def _compile_sql(ast: Ast, base_name: str) -> str:
     kind = ast[0]
+    if kind == "zero_or":
+        raise AssertionError(
+            "zero_or must be eliminated via split_zero_length before "
+            "compilation")
     if kind == "rep":
         return _compile_sql(_rep_expand(ast), base_name)
     if kind == "iri":
@@ -291,9 +407,33 @@ def _compile_sql(ast: Ast, base_name: str) -> str:
     raise AssertionError(f"unknown path node {kind!r}")
 
 
-def path_sql(path: str, base_cte: str, base_name: str = "base") -> str:
+def _identity_sql(base_name: str) -> str:
+    """Node-universe identity relation for the twin: at oracle scale the
+    universe is cheap, and post-join it is value-equivalent to the
+    engine's restricted identity (the join re-restricts to bound terms,
+    which are always graph nodes)."""
+    return (f"(SELECT node AS src, node AS dst FROM "
+            f"(SELECT subj AS node FROM {base_name} "
+            f"UNION SELECT obj AS node FROM {base_name}) idn)")
+
+
+def path_sql(path: str, base_cte: str, base_name: str = "base",
+             id_nodes_sql: str = None) -> str:
     """DuckDB twin of ``path_pairs``: the same AST compiled to SQL over a
-    triples CTE — the oracle for driver path queries."""
-    body = _compile_sql(parse_path(path), base_name)
+    triples CTE — the oracle for driver path queries. A zero-length
+    component compiles to the node-universe identity by default
+    (``id_nodes_sql`` overrides with a ``(... AS node)`` relation to
+    mirror a restricted engine-side evaluation)."""
+    r_ast, has_id = split_zero_length(parse_path(path))
+    parts = []
+    if r_ast is not None:
+        parts.append(f"SELECT src, dst FROM "
+                     f"{_compile_sql(r_ast, base_name)} path_r")
+    if has_id:
+        ident = (f"(SELECT node AS src, node AS dst FROM "
+                 f"{id_nodes_sql} idn)") if id_nodes_sql \
+            else _identity_sql(base_name)
+        parts.append(f"SELECT src, dst FROM {ident} path_i")
+    body = "(" + " UNION ALL ".join(parts) + ")"
     return (f"WITH {base_name} AS ({base_cte})\n"
             f"SELECT DISTINCT src, dst FROM {body} path_t")

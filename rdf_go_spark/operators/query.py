@@ -85,6 +85,53 @@ def _bind_positions(df: DataFrame, pat, positions) -> Tuple[DataFrame, List[str]
             list(rename.values()))
 
 
+def _is_zero_length_pat(pat) -> bool:
+    """A pattern whose predicate is a path with a top-level zero-length
+    component (``*``/``?``/``{0,m}``) — needs an endpoint restriction."""
+    from .paths import has_zero_length
+    return len(pat) == 3 and _is_path_pred(pat[1]) \
+        and has_zero_length(pat[1])
+
+
+def _zl_pattern_rel(base: DataFrame, pat, result: DataFrame,
+                    bound: Sequence[str]) -> DataFrame:
+    """(src, dst) relation for a zero-length-capable path pattern:
+    ``closure-part ∪ identity-part`` where the identity is evaluated
+    over the RESTRICTED node set — the pattern's constant endpoint, or
+    the values the partial result already binds for an endpoint var
+    (intersected with graph nodes, since ZeroLengthPath ranges over
+    subject/object terms only), NEVER the node universe. The same
+    correlation shape MINUS/EXISTS use: a distinct over the (small)
+    partial result plus one semi join against the scan."""
+    from .paths import _compile_df, parse_path, split_zero_length
+    s, p, o = pat
+    r_ast, _ = split_zero_length(parse_path(p))
+    rel = _compile_df(r_ast, base) if r_ast is not None else None
+    const = next((t for t in (s, o) if not _is_var(t)), None)
+    if const is not None:
+        # ZeroLengthPath(term, _): the term relates to itself
+        # unconditionally (no graph-membership requirement in §18.4)
+        id_nodes = base.sparkSession.range(1).select(
+            F.lit(const).alias("node"))
+    else:
+        var = next((t[1:] for t in (s, o) if t[1:] in bound), None)
+        if var is None or result is None:
+            raise ValueError(
+                f"pattern {pat!r} has a zero-length path component with "
+                "both endpoints unrestricted — bind one endpoint via "
+                "another pattern or a constant (evaluating identity over "
+                "the node universe is rejected by design; see "
+                "paths.path_pairs id_nodes=)")
+        cand = result.select(F.col(var).alias("node")).distinct()
+        members = base.select(
+            F.explode(F.array("subj", "obj")).alias("node"))
+        id_nodes = cand.join(members, on="node", how="left_semi")
+    ident = id_nodes.select(F.col("node").alias("src"),
+                            F.col("node").alias("dst"))
+    rel = ident if rel is None else rel.unionByName(ident)
+    return rel.distinct()
+
+
 def _compile_pattern(base: DataFrame, pat: Tuple[str, str, str],
                      graph: str = None) -> Tuple[DataFrame, List[str]]:
     if len(pat) != 3:
@@ -279,11 +326,22 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
         base = base.filter(F.col("graph").isNotNull())
     result: DataFrame = None
     bound: List[str] = []
-    for idx, pat in enumerate(_order_patterns(patterns)):
-        df, varset = _compile_pattern(base, pat, graph=graph)
+    # zero-length path patterns join LAST (and among themselves in
+    # dependency order) so their identity component can be restricted to
+    # the endpoint values the partial result already binds
+    plain = [p for p in patterns if not _is_zero_length_pat(p)]
+    zl_pending = [p for p in patterns if _is_zero_length_pat(p)]
+    if graph is not None and (
+            zl_pending or any(_is_zero_length_pat(p) for p in optionals)):
+        raise ValueError(
+            "property paths inside GRAPH are not supported (a path "
+            "hop crossing graphs has no single ?g binding)")
+
+    def join_rel(df, varset, idx):
+        nonlocal result, bound
         if result is None:
-            result, bound = df, varset
-            continue
+            result, bound = df, list(varset)
+            return
         on = [v for v in varset if v in bound]
         if not on and not allow_cross:
             raise ValueError(
@@ -291,8 +349,50 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
                 f"(cartesian); pass allow_cross=True if intended")
         result = result.join(df, on=on) if on else result.crossJoin(df)
         bound += [v for v in varset if v not in bound]
+
+    def join_zl(pat, idx):
+        rel = _zl_pattern_rel(base, pat, result, bound)
+        df, varset = _bind_positions(rel, (pat[0], pat[2]),
+                                     ("src", "dst"))
+        join_rel(df, varset, idx)
+
+    def zl_ready(pat):
+        return (not _is_var(pat[0]) or not _is_var(pat[2])
+                or pat[0][1:] in bound or pat[2][1:] in bound)
+
+    plain_q = list(_order_patterns(plain))
+    idx = 0
+    while plain_q or zl_pending:
+        # connected plain pattern first (keeps the greedy selectivity
+        # order), then any zero-length pattern whose endpoint is now
+        # restricted (it may be the bridge between plain components),
+        # then the disconnected fallbacks with their original errors
+        pick = next(
+            (p for p in plain_q if result is None
+             or {t[1:] for t in p if _is_var(t)} & set(bound)), None)
+        if pick is not None:
+            df, varset = _compile_pattern(base, pick, graph=graph)
+            join_rel(df, varset, idx)
+            plain_q.remove(pick)
+        elif (zpick := next((p for p in zl_pending if zl_ready(p)),
+                            None)) is not None:
+            join_zl(zpick, idx)
+            zl_pending.remove(zpick)
+        elif plain_q:
+            df, varset = _compile_pattern(base, plain_q[0], graph=graph)
+            join_rel(df, varset, idx)   # cartesian check raises here
+            plain_q.pop(0)
+        else:
+            join_zl(zl_pending[0], idx)  # raises the unrestricted error
+            zl_pending.pop(0)
+        idx += 1
     for idx, pat in enumerate(optionals):
-        df, varset = _compile_pattern(base, pat, graph=graph)
+        if _is_zero_length_pat(pat):
+            rel = _zl_pattern_rel(base, pat, result, bound)
+            df, varset = _bind_positions(rel, (pat[0], pat[2]),
+                                         ("src", "dst"))
+        else:
+            df, varset = _compile_pattern(base, pat, graph=graph)
         on = [v for v in varset if v in bound]
         if not on:
             raise ValueError(
@@ -461,12 +561,32 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
             if graph is not None:
                 raise ValueError(
                     "property paths inside GRAPH are not supported")
-            from .paths import _compile_sql, parse_path
+            from .paths import (
+                _compile_sql, _identity_sql, parse_path, split_zero_length,
+            )
             # path_pairs() applies .distinct() on the Spark side (set
             # semantics per SPARQL 1.1 §18.4) — the twin must too, or a
             # pair reachable via two intermediate witnesses duplicates
-            rel = (f"(SELECT DISTINCT src, dst FROM "
-                   f"{_compile_sql(parse_path(p), base_name)} pt)")
+            r_ast, has_id = split_zero_length(parse_path(p))
+            parts = []
+            if r_ast is not None:
+                parts.append(f"SELECT src, dst FROM "
+                             f"{_compile_sql(r_ast, base_name)} pr{i}")
+            if has_id:
+                # identity component: a constant endpoint relates to
+                # itself unconditionally; otherwise the node universe
+                # (value-equivalent post-join to the engine's restricted
+                # identity — the join re-restricts to graph terms)
+                const = next(
+                    (t for t in (s, o) if not _is_var(t)), None)
+                if const is not None:
+                    c = const.replace("'", "''")
+                    ident = f"(SELECT '{c}' AS src, '{c}' AS dst)"
+                else:
+                    ident = _identity_sql(base_name)
+                parts.append(f"SELECT src, dst FROM {ident} pi{i}")
+            rel = ("(SELECT DISTINCT src, dst FROM ("
+                   + " UNION ALL ".join(parts) + f") pu{i})")
             terms = [("src", s), ("dst", o)]
         else:
             rel = base_name

@@ -23,8 +23,11 @@ Supported subset (documented, rejected-with-error beyond it)::
     DESCRIBE ?v ... <iri> ...               (subject-role description)
     WHERE {
       ?s <p> ?o .                           triple patterns, ; and , lists
-      ?s pfx:p/pfx:q+ ?o .                  property paths (/ | ^ +)
-      ?s pfx:p{1,3} ?o .                    bounded repetition (<=10)
+      ?s pfx:p/pfx:q+ ?o .                  property paths (/ | ^ + * ?)
+      ?s pfx:p{0,3} ?o .                    bounded repetition (<=10);
+                                            zero-length (* ? {0,m})
+                                            needs a restricted endpoint
+                                            (operators/paths.py)
       ?s a ?type .                          'a' = rdf:type
       OPTIONAL { ... }                      left join
       FILTER(?i > 3)  FILTER(bound(?x))     =, !=, <, <=, >, >=, [!]bound
@@ -46,6 +49,8 @@ Supported subset (documented, rejected-with-error beyond it)::
                                             aggregation / keyset shapes)
     GROUP BY ?v ...   HAVING(COUNT(?x) > n | ?alias > n)
     ORDER BY [ASC|DESC](?v) ...   LIMIT n OFFSET m
+      (?v may be a pattern var, an aggregate alias, or a
+       SELECT-expression alias)
 
 Numeric positions (FILTER comparisons to an integer, SUM/MIN/MAX/AVG)
 operate on the canonical ``"n"^^xsd:integer`` literal form the pipeline
@@ -139,6 +144,12 @@ def _tokenize(q: str) -> List[_Tok]:
             while j < n and q[j] in _WORD_CHARS:
                 j += 1
             if j == i + 1:
+                if c == "?":
+                    # a bare '?' is the zero-or-one path modifier (the
+                    # var sigil needs a following name char)
+                    toks.append(_Tok("op", "?"))
+                    i += 1
+                    continue
                 raise SparqlError(f"empty variable name at offset {i}")
             toks.append(_Tok("var", q[i + 1:j]))
             i = j
@@ -360,6 +371,12 @@ class _Parser:
             if self.at_op("+"):
                 self.take()
                 s += "+"
+            elif self.at_op("*"):
+                self.take()
+                s += "*"
+            elif self.at_op("?"):
+                self.take()
+                s += "?"
             elif self.at_op("{") and self.peek(1) is not None \
                     and self.peek(1).kind == "int":
                 self.take()
@@ -372,10 +389,6 @@ class _Parser:
                 s += f"{{{lo.val},{hi.val}}}"
             else:
                 break
-        if self.at_op("*"):
-            raise SparqlError(
-                "path operator '*' is unsupported (zero-length path = "
-                "node-universe scan; see operators/paths.py)")
         return s
 
     def _path_primary(self) -> str:
@@ -409,10 +422,6 @@ class _Parser:
             return self._expand_pname(t.val)
         if t.kind == "kw" and t.val == "A":
             return RDF_TYPE
-        if t.kind == "op" and t.val in ("*", "?"):
-            raise SparqlError(
-                f"path operator {t.val!r} is unsupported (zero-length "
-                "path = node-universe scan; see operators/paths.py)")
         raise SparqlError(f"unexpected {t.val!r} in property path")
 
     def _predicate(self) -> str:
@@ -1149,7 +1158,13 @@ def _exec_query(triples: DataFrame, q: ParsedQuery) -> DataFrame:
             sol = _order_slice(sol.distinct(), q)
         else:
             # ORDER BY runs pre-projection in the SPARQL algebra, so it
-            # may reference unprojected variables
+            # may reference unprojected variables — but it may also name
+            # a SELECT-expression alias (the common reporting idiom);
+            # those are computed as extra columns before the sort
+            for p in q.projection:
+                if (p.kind == "expr" and p.alias not in sol.columns
+                        and any(v == p.alias for v, _ in q.order_by)):
+                    sol = sol.withColumn(p.alias, _expr_column(p))
             sol = _order_slice(sol, q)
             if not star:
                 sol = sol.select(*_proj_columns(q.projection))

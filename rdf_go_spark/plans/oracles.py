@@ -10,7 +10,7 @@ from .pipeline import (
     kg_export_ntriples_oracle_sql, kg_partition_metrics_oracle_sql,
     kg_graph_provenance_oracle_sql, kg_property_path_oracle_sql,
     kg_sparql_builtins_oracle_sql, kg_sparql_construct_oracle_sql,
-    kg_sparql_describe_oracle_sql,
+    kg_sparql_describe_oracle_sql, kg_sparql_path_star_oracle_sql,
     kg_sparql_select_oracle_sql, kg_sparql_subquery_oracle_sql,
     kg_triples_oracle_sql,
     kg_bgp_match_oracle_sql, kg_turn_reachability_oracle_sql,
@@ -39,6 +39,7 @@ def kg_oracles(n_conv: int) -> dict[str, str]:
         "kg_graph_provenance": kg_graph_provenance_oracle_sql(n_conv),
         "kg_sparql_builtins": kg_sparql_builtins_oracle_sql(n_conv),
         "kg_sparql_subquery": kg_sparql_subquery_oracle_sql(n_conv),
+        "kg_sparql_path_star": kg_sparql_path_star_oracle_sql(n_conv),
         "kg_turn_reachability": kg_turn_reachability_oracle_sql(n_conv),
         "kg_conversation_stats": f"""
 WITH {transcripts_sql(n_conv)}

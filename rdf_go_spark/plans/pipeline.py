@@ -387,6 +387,37 @@ def kg_property_path_oracle_sql(n_conv: int) -> str:
     return f"SELECT src AS conv, dst AS val FROM (\n{inner}\n) pp"
 
 
+_SPARQL_PATH_STAR = f"""
+PREFIX v: <{_V}>
+SELECT ?t (COUNT(*) AS ?n_ctx_mentions)
+WHERE {{
+  ?c v:hasTurn ?t .
+  ?t v:prevTurn* ?p .
+  ?p v:mentions ?e .
+}}
+GROUP BY ?t
+"""
+
+
+def kg_sparql_path_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-length path (`*`) through the SPARQL front-end: per turn,
+    mentions across its whole predecessor context INCLUDING itself
+    (``prevTurn*`` = identity ∪ prevTurn+). The identity component is
+    evaluated over the RESTRICTED endpoint set ``?t`` that ``hasTurn``
+    already binds — never the node universe (operators/query.py
+    _zl_pattern_rel; plan shape asserted in tests/test_query_algebra.py
+    and tests/test_sparql.py)."""
+    from ..operators.sparql import sparql_select
+
+    return sparql_select(_query_graph(spark, sf_dir), _SPARQL_PATH_STAR)
+
+
+def kg_sparql_path_star_oracle_sql(n_conv: int) -> str:
+    from ..operators.sparql import sparql_sql
+
+    return sparql_sql(_SPARQL_PATH_STAR, kg_triples_oracle_sql(n_conv))
+
+
 _ALG_BLOCKS = [
     {   # assistant turns past index 3 with their mention, excluding
         # (MINUS) any turn that mentions the hot entity 0; ?tool NULL-pads
@@ -522,6 +553,7 @@ WHERE {
   FILTER(EXISTS { ?t v:prevTurn ?p })
 }
 GROUP BY ?e
+ORDER BY DESC(?n_tool_turns) ?e
 """
 
 

@@ -62,11 +62,18 @@ class TestPathParsing:
             "plus", ("seq", ("iri", "<p>"), ("iri", "<q>")))
 
     @pytest.mark.parametrize("bad", [
-        "", "<p", "<p>/", "<p>)", "(<p>", "<p> <q>", "p", "<p>*", "<p>?",
+        "", "<p", "<p>/", "<p>)", "(<p>", "<p> <q>", "p", "*", "?<p>",
     ])
     def test_rejects(self, bad):
         with pytest.raises(ValueError):
             parse_path(bad)
+
+    def test_zero_length_forms_parse(self):
+        assert parse_path("<p>*") == ("zero_or", ("plus", ("iri", "<p>")))
+        assert parse_path("<p>?") == ("zero_or", ("iri", "<p>"))
+        assert parse_path("<p>{0,2}") == (
+            "zero_or", ("rep", ("iri", "<p>"), 1, 2))
+        assert parse_path("<p>{0,0}") == ("zero_or", None)
 
     def test_is_path(self):
         assert not is_path("<p>")
@@ -117,9 +124,8 @@ class TestPathPairs:
             (n, n) for n in ("<a>", "<b>", "<c>")}
 
     @pytest.mark.parametrize("bad, msg", [
-        ("<p>{0,2}", "zero-length"),
-        ("<p>{3,2}", "1 <= n <= m"),
-        ("<p>{1,99}", "1 <= n <= m"),
+        ("<p>{3,2}", "0 <= n <= m"),
+        ("<p>{1,99}", "0 <= n <= m"),
         ("<p>{1 2}", "needs a comma"),
         ("<p>{x,2}", "unexpected"),
     ])
@@ -264,3 +270,84 @@ class TestBgpUnion:
                       _tiny_cte())
         duck_rows = sorted(tuple(r)[:2] for r in duckdb.sql(sql).fetchall())
         assert duck_rows == [("<a>", "<d>"), ("<b>", "<d>")]
+
+
+class TestZeroLengthPaths:
+    """`*` / `?` / `{0,m}`: the identity component is evaluated over a
+    RESTRICTED node set (constant endpoint or BGP-bound values), never
+    the node universe — semantics, twin parity, and plan shape."""
+
+    def _compare(self, tiny, kw):
+        sdf = bgp_match(tiny, **kw)
+        cols = sorted(sdf.columns)
+        sp = sorted(tuple((row[c] is None, row[c] or "") for c in cols)
+                    for row in sdf.collect())
+        kw2 = dict(kw)
+        rel = duckdb.sql(bgp_sql(kw2.pop("patterns"), _tiny_cte(), **kw2))
+        idx = [rel.columns.index(c) for c in cols]
+        du = sorted(tuple((r[i] is None, r[i] or "") for i in idx)
+                    for r in rel.fetchall())
+        assert sp == du
+        return sp
+
+    def test_star_const_subject(self, tiny):
+        rows = self._compare(tiny, {"patterns": [("<a>", "<q>*", "?y")]})
+        # identity (a,a) plus the single q edge a->d
+        assert rows == [((False, "<a>"),), ((False, "<d>"),)]
+
+    def test_star_cycle_via_bound_var(self, tiny):
+        # ?x bound by q; p* over the a->b->c->a cycle includes identity
+        self._compare(tiny, {"patterns": [("?x", "<q>", "?d"),
+                                          ("?x", "<p>*", "?y")]})
+
+    def test_zero_or_one(self, tiny):
+        self._compare(tiny, {"patterns": [("?x", "<q>", "?d"),
+                                          ("?x", "<p>?", "?y")]})
+
+    def test_rep_zero_bound(self, tiny):
+        self._compare(tiny, {"patterns": [("<a>", "<p>{0,2}", "?y")]})
+
+    def test_same_var_both_ends(self, tiny):
+        self._compare(tiny, {"patterns": [("?x", "<q>", "?d"),
+                                          ("?x", "<p>*", "?x")]})
+
+    def test_optional_zero_length(self, tiny):
+        self._compare(tiny, {"patterns": [("?x", "<q>", "?d")],
+                             "optionals": [("?x", "<age>?", "?w")]})
+
+    def test_inner_star_needs_no_identity(self, tiny):
+        # seq with inner * has no top-level identity: <q>/<r>? etc.
+        from rdf_go_spark.operators.paths import split_zero_length
+        ast, has_id = split_zero_length(parse_path("<p>/<q>*"))
+        assert not has_id
+        self._compare(tiny, {"patterns": [("?x", "<p>/<q>*", "?y")]})
+
+    def test_unrestricted_raises(self, tiny):
+        with pytest.raises(ValueError, match="zero-length"):
+            bgp_match(tiny, [("?x", "<p>*", "?y")]).collect()
+
+    def test_path_pairs_id_nodes_explicit(self, tiny):
+        from rdf_go_spark.operators.paths import graph_nodes
+        got = _pairs(path_pairs(tiny, "<q>?", id_nodes=graph_nodes(tiny)))
+        duck = {tuple(r) for r in
+                duckdb.sql(path_sql("<q>?", _tiny_cte())).fetchall()}
+        assert got == duck
+        with pytest.raises(ValueError, match="zero-length"):
+            path_pairs(tiny, "<q>?")
+
+    def test_const_identity_plan_has_no_table_scan(self, tiny):
+        # zero-length with a constant endpoint: the identity side is a
+        # literal one-row range — no scan, no explode of the graph
+        plan = bgp_match(
+            tiny, [("<a>", "<q>*", "?y")])._jdf.queryExecution() \
+            .optimizedPlan().toString()
+        assert "explode" not in plan.lower()
+
+    def test_bound_var_identity_plan_is_semi_join(self, tiny):
+        # zero-length over a BGP-bound var: identity = bound values
+        # semi-joined against graph membership — the plan must contain
+        # the LeftSemi, and the explode feeds ONLY that semi join
+        plan = bgp_match(
+            tiny, [("?x", "<q>", "?d"), ("?x", "<p>*", "?y")]) \
+            ._jdf.queryExecution().optimizedPlan().toString()
+        assert "LeftSemi" in plan

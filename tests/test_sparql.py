@@ -93,7 +93,6 @@ class TestParser:
         assert q.order_by == [("n", False), ("age", True)]
 
     @pytest.mark.parametrize("bad, msg", [
-        ("SELECT ?s WHERE { ?s <p>* ?o }", "unsupported"),
         ("SELECT REDUCED ?s WHERE { ?s ?p ?o }", "unexpected bare word"),
         ("ASK WHERE { ?s ?p ?o } OFFSET 2", "solution modifiers"),
         ("ASK WHERE { ?s ?p ?o } LIMIT 1", "solution modifiers"),
@@ -157,6 +156,52 @@ class TestExecution:
         # a knows+ {b,c}; b likes d -> (a,d); b knows+ {c}; c likes
         # nothing -> only (a,d)
         assert sp == [("<http://x/a>", "<http://x/d>")]
+
+    def test_order_by_aggregate_alias(self, tiny):
+        # raw (unsorted) collect: the engine-side ordering itself is
+        # under test, not just the multiset
+        q = """
+            PREFIX x: <http://x/>
+            SELECT ?s (COUNT(*) AS ?n) WHERE { ?s ?p ?o }
+            GROUP BY ?s ORDER BY DESC(?n) ?s LIMIT 3
+        """
+        sp = [tuple(r) for r in sparql_select(tiny, q).collect()]
+        du = [tuple(r) for r in
+              duckdb.sql(sparql_sql(q, _tiny_cte())).fetchall()]
+        assert sp == du and len(sp) == 3
+        assert [r[1] for r in sp] == sorted(
+            [r[1] for r in sp], reverse=True)
+
+    def test_order_by_expression_alias(self, tiny):
+        q = """
+            PREFIX x: <http://x/>
+            SELECT ?s (STR(?s) AS ?raw) WHERE { ?s x:age ?n }
+            ORDER BY DESC(?raw)
+        """
+        sp = [tuple(r) for r in sparql_select(tiny, q).collect()]
+        du = [tuple(r) for r in
+              duckdb.sql(sparql_sql(q, _tiny_cte())).fetchall()]
+        assert sp == du
+        assert [r[1] for r in sp] == sorted(
+            [r[1] for r in sp], reverse=True)
+
+    def test_zero_length_star_in_sparql(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?s ?o WHERE { ?s x:age ?n . ?s x:knows* ?o }
+        """)
+        assert sp == du
+        # identity (s,s) for every aged node plus the knows chains
+        assert ("<http://x/a>", "<http://x/a>") in {(r[0], r[1])
+                                                    for r in sp}
+
+    def test_zero_or_one_const_subject_in_sparql(self, tiny):
+        sp, du = _both(tiny, """
+            PREFIX x: <http://x/>
+            SELECT ?o WHERE { <http://x/a> x:knows? ?o }
+        """)
+        assert sp == du
+        assert ("<http://x/a>",) in sp  # the zero-length self-binding
 
     def test_bounded_repetition_in_sparql(self, tiny):
         sp, du = _both(tiny, """

@@ -35,11 +35,17 @@ def bgps(draw):
     for i in range(draw(st.integers(1, 3))):
         s = "?" + draw(st.sampled_from(pool))
         # include path-expression predicates (seq/alt) so the twin's
-        # DISTINCT set semantics for paths inside BGPs stays pinned
-        p = draw(st.sampled_from(
-            PREDS + [f"?pv{i}"]
-            + [f"{a}/{b}" for a in PREDS[:2] for b in PREDS[:2]]
-            + [f"{a}|{b}" for a, b in zip(PREDS, PREDS[1:])]))
+        # DISTINCT set semantics for paths inside BGPs stays pinned;
+        # zero-length forms (?, {0,1}, *) only once the subject pool is
+        # seeded by an earlier pattern (their identity component needs a
+        # bound endpoint — unrestricted evaluation raises by design)
+        path_choices = (
+            [f"{a}/{b}" for a in PREDS[:2] for b in PREDS[:2]]
+            + [f"{a}|{b}" for a, b in zip(PREDS, PREDS[1:])])
+        if i > 0:
+            path_choices += [f"{a}?" for a in PREDS[:2]] \
+                + [f"{PREDS[0]}{{0,2}}", f"{PREDS[1]}*"]
+        p = draw(st.sampled_from(PREDS + [f"?pv{i}"] + path_choices))
         o = draw(st.sampled_from(
             OBJECTS + ["?" + v for v in pool] + [f"?o{i}"]))
         pats.append((s, p, o))
@@ -109,10 +115,16 @@ def path_exprs(draw, depth=2):
     — keep the per-example cost bounded)."""
     def node(d, plus_budget):
         kind = draw(st.sampled_from(
-            ["iri", "iri", "seq", "alt", "inv", "nps", "rep"]
-            + (["plus"] if plus_budget else [])))
+            ["iri", "iri", "seq", "alt", "inv", "nps", "rep", "opt"]
+            + (["plus", "star"] if plus_budget else [])))
         if d <= 0 or kind == "iri":
             return draw(st.sampled_from(PREDS)), plus_budget
+        if kind == "opt":
+            inner, pb = node(d - 1, 0)
+            return f"({inner})?", plus_budget
+        if kind == "star":
+            inner, pb = node(d - 1, 0)
+            return f"({inner})*", 0
         if kind == "nps":
             n = draw(st.integers(1, 2))
             return "!(" + "|".join(
@@ -139,9 +151,15 @@ def path_exprs(draw, depth=2):
 @settings(max_examples=15, deadline=None)
 @given(edges=EDGES, expr=path_exprs())
 def test_random_path_matches_sql_twin(spark, edges, expr):
-    from rdf_go_spark.operators.paths import path_pairs, path_sql
+    from rdf_go_spark.operators.paths import (
+        graph_nodes, has_zero_length, path_pairs, path_sql,
+    )
     df = spark.createDataFrame(edges, ["subj", "pred", "obj"])
-    spark_rows = sorted(tuple(r) for r in path_pairs(df, expr).collect())
+    # standalone evaluation of a zero-length path needs the explicit
+    # node-universe opt-in (the twin defaults to the same universe)
+    idn = graph_nodes(df) if has_zero_length(expr) else None
+    spark_rows = sorted(
+        tuple(r) for r in path_pairs(df, expr, id_nodes=idn).collect())
     duck_rows = sorted(
         tuple(r) for r in duckdb.sql(path_sql(expr, _cte(edges)))
         .fetchall())
