@@ -137,8 +137,46 @@ def _sig_batches(dim: int):
     return fn
 
 
+def _bucket_column(e: "F.Column", dim: int) -> "F.Column":
+    """Hyperplane bucket as a pure JVM column expression (whole-stage
+    codegen, zero Python): quantize each component half-AWAY-FROM-ZERO
+    to integer micro-units (same arithmetic as the pandas path and
+    DuckDB's round()), then sign 12 exact integer dot products against
+    the inlined literal plane rows. |x*1e6| <= ~1e6 and |plane| <= 128,
+    so every product and the 64-term sum stay exact in f64 — the bucket
+    bit cannot differ between engines or implementations."""
+    planes = _plane_matrix(dim)
+    vq = F.transform(
+        e, lambda x: F.signum(x) * F.floor(F.abs(x * 1e6) + F.lit(0.5)))
+    bucket = F.lit(0)
+    for j in range(N_PLANES):
+        row = F.array(*[F.lit(float(v)) for v in planes[j]])
+        dot = F.aggregate(F.zip_with(vq, row, lambda a, b: a * b),
+                          F.lit(0.0), lambda acc, x: acc + x)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _signatures(embeddings: DataFrame, dim: int,
+                sig_impl: str = "jvm") -> DataFrame:
+    """(vec_id, e double[], bucket) — ``jvm`` (default, production: no
+    Python stage) or ``pandas`` (the original vectorized mapInPandas,
+    kept as the equivalence reference; test_training_ops pins both to
+    identical buckets)."""
+    emb = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    if sig_impl == "jvm":
+        return emb.withColumn("bucket", _bucket_column(F.col("e"), dim))
+    if sig_impl == "pandas":
+        sigs = embeddings.select("vec_id", "embedding").mapInPandas(
+            _sig_batches(dim), schema=_SIG_SCHEMA)
+        return emb.join(sigs, "vec_id")
+    raise ValueError(f"unknown sig_impl {sig_impl!r}")
+
+
 def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
-                 dim: int = 64, multiprobe: int = 0) -> DataFrame:
+                 dim: int = 64, multiprobe: int = 0,
+                 sig_impl: str = "jvm") -> DataFrame:
     """ANN: hyperplane-LSH bucket join, exact cosine within bucket.
 
     At 100 TB the bucket join replaces the full cross product with a
@@ -148,11 +186,7 @@ def lsh_ann_topk(embeddings: DataFrame, n_queries: int = 20, k: int = 5,
     deterministic buckets — recall rises while the data side still joins
     on its single bucket key (probes are query-side only, so the blowup
     is bounded by the tiny broadcast side)."""
-    sigs = embeddings.select("vec_id", "embedding").mapInPandas(
-        _sig_batches(dim), schema=_SIG_SCHEMA)
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")) \
-        .join(sigs, "vec_id")
+    emb = _signatures(embeddings, dim, sig_impl)
     queries = (emb.filter(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("e").alias("q"),
@@ -429,16 +463,13 @@ GROUP BY label, dim
 
 def embedding_near_dup_pairs(embeddings: DataFrame,
                              threshold: float = 0.95,
-                             dim: int = 64) -> DataFrame:
+                             dim: int = 64,
+                             sig_impl: str = "jvm") -> DataFrame:
     """Embedding-cosine near-duplicate pairs: candidates from the
     hyperplane-LSH bucket equi-join (same signatures as lsh_ann_topk —
     never an all-pairs product), verified with exact cosine >= threshold.
     The dedup counterpart of MinHash for the embedding modality."""
-    sigs = embeddings.select("vec_id", "embedding").mapInPandas(
-        _sig_batches(dim), schema=_SIG_SCHEMA)
-    emb = embeddings.select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("e")) \
-        .join(sigs, "vec_id")
+    emb = _signatures(embeddings, dim, sig_impl)
     a, b = emb.alias("a"), emb.alias("b")
     cand = a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
                   (F.col("a.vec_id") < F.col("b.vec_id")))

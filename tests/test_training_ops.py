@@ -160,6 +160,32 @@ class TestAlgorithmic:
         for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
             assert marker not in plan, marker
 
+    def test_lsh_jvm_and_pandas_signatures_identical(self, spark):
+        """The production JVM signature column (whole-stage codegen) and
+        the original vectorized pandas path must bucket every vector
+        identically — the quantize-then-exact-integer-dot argument in
+        _bucket_column, pinned empirically."""
+        from rdf_go_spark.operators.similarity import _signatures
+        emb = spark.read.parquet(f"{SMOKE}/embeddings.parquet")
+        jvm = {(r.vec_id, r.bucket) for r in
+               _signatures(emb, 64, "jvm").select("vec_id", "bucket")
+               .collect()}
+        pd_ = {(r.vec_id, r.bucket) for r in
+               _signatures(emb, 64, "pandas").select("vec_id", "bucket")
+               .collect()}
+        assert jvm == pd_ and len(jvm) == emb.count()
+
+    def test_lsh_jvm_plan_has_no_python_stage(self, spark):
+        from rdf_go_spark.operators.similarity import (
+            embedding_near_dup_pairs, lsh_ann_topk)
+        emb = spark.read.parquet(f"{SMOKE}/embeddings.parquet")
+        for df in (lsh_ann_topk(emb, 10, 3),
+                   embedding_near_dup_pairs(emb, threshold=0.25)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            for marker in ("BatchEvalPython", "ArrowEvalPython",
+                           "MapInPandas"):
+                assert marker not in plan, marker
+
     def test_lsh_multiprobe_improves_recall(self, spark):
         """Multi-probe (query bucket + all one-bit-flip neighbors) must
         strictly dominate single-probe candidate coverage, and recover
