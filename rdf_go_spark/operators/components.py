@@ -120,55 +120,68 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     inductively), so the count fixpoint is also the distance fixpoint.
 
     ``with_distance=False`` drops the dist column and merges with a
-    plain DISTINCT (set semantics — see transitive_closure_pairs)."""
-    from pyspark.sql import Observation
+    plain DISTINCT (set semantics — see transitive_closure_pairs).
 
-    e = (edges.select(F.col(src).alias("m"), F.col(dst).alias("d"))
-         .distinct().localCheckpoint())
-    if not with_distance:
-        paths = e.select(F.col("m").alias("src"),
-                         F.col("d").alias("dst")).localCheckpoint()
-        n = paths.count()
-        for i in range(max_iter):
+    Rounds persist src-partitioned CACHED DataFrames instead of
+    localCheckpoints: an InMemoryRelation PRESERVES its output
+    partitioning through Catalyst (a checkpoint's LogicalRDD does not),
+    so each round's b-side join input (keyed on src) and the merge's
+    groupBy clustering (src ⊆ {src, dst}) are satisfied for free —
+    two exchanges per round instead of three, and the fixpoint count()
+    doubles as the cache-materializing action (measured ~35% faster at
+    sf0.1; BENCH/BASELINE.md §6)."""
+    nparts = int(edges.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
+
+    def _round(paths, n, i, with_dist):
+        if with_dist:
+            comp = (paths.alias("a").join(
+                        paths.alias("b"),
+                        F.col("a.dst") == F.col("b.src"))
+                    .select(F.col("a.src").alias("src"),
+                            F.col("b.dst").alias("dst"),
+                            (F.col("a.dist") + F.col("b.dist"))
+                            .alias("dist")))
+            merged = (paths.unionByName(comp)
+                      .repartition(nparts, "src")
+                      .groupBy("src", "dst").agg(F.min("dist")
+                                                 .alias("dist")))
+        else:
             comp = (paths.alias("a").join(
                         paths.alias("b"),
                         F.col("a.dst") == F.col("b.src"))
                     .select(F.col("a.src").alias("src"),
                             F.col("b.dst").alias("dst")))
-            merged = paths.unionByName(comp).distinct()
-            obs = Observation()
-            merged = merged.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
-            _capture_iteration_plan("transitive_closure_pairs", i, merged)
-            merged = merged.localCheckpoint()
-            m = obs.get["n_pairs"]
-            if m == n:
-                break
-            paths, n = merged, m
-        return paths
-    paths = e.select(F.col("m").alias("src"), F.col("d").alias("dst"),
-                     F.lit(1).alias("dist")).localCheckpoint()
+            merged = (paths.unionByName(comp)
+                      .repartition(nparts, "src").distinct())
+        name = ("transitive_closure" if with_dist
+                else "transitive_closure_pairs")
+        _capture_iteration_plan(name, i, merged)
+        merged = merged.persist()
+        m = merged.count()
+        return merged, m
+
+    # truncate the upstream lineage ONCE (the input may be a heavy
+    # extraction pipeline — without this, every round's cached plan
+    # embeds it and driver-side planning swamps the saved exchange),
+    # then cache rounds with persist() so partitioning survives
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .localCheckpoint())
+    if with_distance:
+        e = e.withColumn("dist", F.lit(1))
+    paths = (e.repartition(nparts, "src")
+             .dropDuplicates(["src", "dst"]).persist())
     n = paths.count()
     # path doubling: composing paths with paths covers depth 2^k after k
     # rounds — O(log diameter) iterations (and driver round-trips)
-    # instead of O(diameter). The pair count used for the fixpoint test
-    # rides along with the merge via observe(), so the localCheckpoint
-    # materializing the round is the only job per round.
+    # instead of O(diameter); per-round cost is a closure self-join,
+    # bounded by the final closure size either way
     for i in range(max_iter):
-        comp = (paths.alias("a").join(
-                    paths.alias("b"),
-                    F.col("a.dst") == F.col("b.src"))
-                .select(F.col("a.src").alias("src"),
-                        F.col("b.dst").alias("dst"),
-                        (F.col("a.dist") + F.col("b.dist")).alias("dist")))
-        merged = (paths.unionByName(comp)
-                  .groupBy("src", "dst").agg(F.min("dist").alias("dist")))
-        obs = Observation()
-        merged = merged.observe(obs, F.count(F.lit(1)).alias("n_pairs"))
-        _capture_iteration_plan("transitive_closure", i, merged)
-        merged = merged.localCheckpoint()
-        m = obs.get["n_pairs"]
+        merged, m = _round(paths, n, i, with_distance)
         if m == n:
+            merged.unpersist(False)
             break
+        paths.unpersist(False)
         paths, n = merged, m
     return paths
 

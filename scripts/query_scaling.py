@@ -46,12 +46,13 @@ def main() -> None:
                 g, P._SPARQL_CONSTRUCT),
             "sparql_describe": lambda: sparql_select(
                 g, P._SPARQL_DESCRIBE),
+            # r5: entity_tools merged into builtins (one combined query)
             "sparql_builtins": lambda: sparql_select(
                 g, P._SPARQL_BUILTINS),
-            "sparql_entity_tools": lambda: sparql_select(
-                g, P._SPARQL_ENTITY_TOOLS),
             "sparql_subquery": lambda: sparql_select(
                 g, P._SPARQL_SUBQUERY),
+            "sparql_path_star": lambda: sparql_select(
+                g, P._SPARQL_PATH_STAR),
         }
 
     # warm-up at smoke scale: codegen + python workers + closure rounds
