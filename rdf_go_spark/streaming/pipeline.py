@@ -41,7 +41,8 @@ def streaming_triples(transcripts: DataFrame,
                            include_payload=True, include_prev_turn=False)
 
 
-def streaming_prev_turn(transcripts: DataFrame) -> DataFrame:
+def streaming_prev_turn(transcripts: DataFrame,
+                        coarse_buckets: int = None) -> DataFrame:
     """The batch prev-turn window rule as a custom stateful streaming
     operator (applyInPandasWithState keyed on conv_id): every turn with
     turn_idx > 0 emits ``bnode(conv,idx) v:prevTurn bnode(conv,idx-1)``
@@ -51,7 +52,19 @@ def streaming_prev_turn(transcripts: DataFrame) -> DataFrame:
     hex-set string — unbounded-turn safety without unbounded state for
     the common case). Output matches batch extraction's prevTurn triples
     byte-for-byte (deterministic sha256 skolem bnodes,
-    operators/extraction.py)."""
+    operators/extraction.py).
+
+    ``coarse_buckets``: key the state on ``hash(conv_id) % N`` instead
+    of conv_id, holding a per-conversation bitmask MAP inside each
+    bucket's state. The micro-batch measurement (BENCH/BASELINE.md §7)
+    shows the stateful path is bound by PER-GROUP overhead — one Python
+    call, one Arrow round trip, and one state get/update per group per
+    batch — not by state-store commits, so collapsing 50k conversation
+    groups into ~1k buckets removes ~98% of those boundaries while
+    total state stays the same size (the map shards the identical
+    bitmasks). Size N ≈ |active conversations| / 1000 so a bucket's map
+    stays small; semantics and output are identical (equivalence test in
+    tests/test_streaming.py)."""
     import hashlib
 
     import pandas as pd
@@ -59,6 +72,8 @@ def streaming_prev_turn(transcripts: DataFrame) -> DataFrame:
 
     out_schema = ("conv_id string, turn_idx int, subj string, "
                   "pred string, obj string")
+    if coarse_buckets:
+        return _prev_turn_coarse(transcripts, coarse_buckets, out_schema)
     state_schema = "seen long, overflow string"
 
     def bnode(conv_id: str, idx: int) -> str:
@@ -98,6 +113,69 @@ def streaming_prev_turn(transcripts: DataFrame) -> DataFrame:
 
     return (transcripts
             .groupBy("conv_id")
+            .applyInPandasWithState(
+                lag, outputStructType=out_schema,
+                stateStructType=state_schema,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def _prev_turn_coarse(transcripts: DataFrame, n_buckets: int,
+                      out_schema: str) -> DataFrame:
+    """Coarse-keyed variant of streaming_prev_turn (see its docstring):
+    state per bucket = parallel arrays (conv_ids, bitmasks) encoding the
+    same per-conversation LONG bitmask; turns ≥ 63 carry a per-conv
+    overflow entry keyed ``conv|idx`` in a shared array."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    state_schema = ("convs array<string>, masks array<long>, "
+                    "overflow array<string>")
+
+    def bnode(conv_id: str, idx: int) -> str:
+        return "_:b" + hashlib.sha256(
+            f"{conv_id}|{idx}".encode()).hexdigest()[:16]
+
+    def lag(key, pdf_iter, state):
+        if state.exists:
+            convs, masks, overflow = state.get
+            seen = dict(zip(convs, masks))
+            big = set(overflow or [])
+        else:
+            seen, big = {}, set()
+        rows = {"conv_id": [], "turn_idx": [], "subj": [], "pred": [],
+                "obj": []}
+        for pdf in pdf_iter:
+            for conv_id, t in zip(pdf["conv_id"], pdf["turn_idx"]):
+                t = int(t)
+                if t <= 0:
+                    continue
+                if t < 63:
+                    mask = seen.get(conv_id, 0)
+                    if (mask >> t) & 1:
+                        continue
+                    seen[conv_id] = mask | (1 << t)
+                else:
+                    k = f"{conv_id}|{t}"
+                    if k in big:
+                        continue
+                    big.add(k)
+                rows["conv_id"].append(conv_id)
+                rows["turn_idx"].append(t)
+                rows["subj"].append(bnode(conv_id, t))
+                rows["pred"].append("<http://example.org/v/prevTurn>")
+                rows["obj"].append(bnode(conv_id, t - 1))
+        state.update((list(seen.keys()), list(seen.values()),
+                      sorted(big)))
+        if rows["conv_id"]:
+            yield pd.DataFrame(rows)
+
+    bucket = F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets))
+    return (transcripts
+            .withColumn("_bucket", bucket)
+            .groupBy("_bucket")
             .applyInPandasWithState(
                 lag, outputStructType=out_schema,
                 stateStructType=state_schema,

@@ -115,6 +115,11 @@ def main() -> None:
             "state_provider": provider or "hdfs",
             "stateful_prev_turn": run_to_file_sink(
                 spark, data_dir, base, "prev_turn", streaming_prev_turn),
+            # coarse keying: hash(conv)%1024 buckets — same output, ~50x
+            # fewer python-group boundaries per micro-batch
+            "stateful_prev_turn_coarse1k": run_to_file_sink(
+                spark, data_dir, base, "prev_coarse",
+                lambda s: streaming_prev_turn(s, coarse_buckets=1024)),
             # append + watermark: only windows the watermark has closed
             # are emitted by end-of-drain; rows_out < distinct windows is
             # expected — throughput and bounded state are the measurement

@@ -154,6 +154,29 @@ class TestStatefulPrevTurn:
         assert len(got) == len(set(got)), "duplicate edges across batches"
         assert sorted(got) == sorted(expected)
 
+    def test_prev_turn_coarse_buckets_equivalent(
+            self, spark, transcript_dir, tmp_path):
+        """The coarse-keyed variant (state on hash(conv)%N with a
+        per-conversation bitmask map per bucket) must emit exactly the
+        per-conversation variant's edge set across multi-batch arrival —
+        the per-group-overhead optimization cannot change semantics."""
+        from rdf_go_spark.plans.pipeline import kg_triples
+        from rdf_go_spark.streaming import (
+            run_availablenow, stream_transcripts, streaming_prev_turn,
+        )
+        stream = stream_transcripts(spark, transcript_dir,
+                                    max_files_per_trigger=2)
+        run_availablenow(streaming_prev_turn(stream, coarse_buckets=7),
+                         str(tmp_path / "ckpt_ptc"), "stream_prev_coarse")
+        got = [(r.subj, r.pred, r.obj) for r in
+               spark.sql("select * from stream_prev_coarse").collect()]
+        batch = kg_triples(spark, "/root/testdata/sf0.001")
+        expected = [(r.subj, r.pred, r.obj) for r in batch.filter(
+            F.col("pred") == "<http://example.org/v/prevTurn>")
+            .collect() if r.conv_id < "conv-000040"]
+        assert len(got) == len(set(got)), "duplicate edges across batches"
+        assert sorted(got) == sorted(expected)
+
     def test_prev_turn_driver_query_matches_oracle(self, spark, duck):
         import __spark_entry__ as e
 
