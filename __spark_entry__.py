@@ -102,6 +102,9 @@ def _training_data_queries():
         # fused into ONE corpus scan; each remains individually
         # oracle-tested in tests/test_training_ops.py
         "doc_text_profile": lambda s, d: textstats.text_profile(_docs(s, d)),
+        # vocabulary / IDF-table build (map-side-combined term shuffle
+        # + broadcast corpus size + TakeOrdered top-k)
+        "corpus_term_stats": lambda s, d: textstats.term_stats(_docs(s, d)),
         "doc_exact_dedup": lambda s, d: textstats.exact_dedup(_docs(s, d)),
         # near-dup detection
         # df-capped candidates (scale guard for hot shingles); exact
@@ -251,6 +254,7 @@ def _build_oracles() -> dict[str, str]:
         _streaming.kg_streaming_prev_turn_oracle_sql(N_CONV_ORACLE)
     oracles.update({
         "doc_text_profile": textstats.text_profile_oracle(),
+        "corpus_term_stats": textstats.term_stats_oracle(),
         "doc_exact_dedup": textstats.exact_dedup_oracle(),
         "dedup_ngram_jaccard": dedup.ngram_jaccard_oracle(max_df=100),
         "dedup_minhash_lsh": dedup.minhash_lsh_oracle(),

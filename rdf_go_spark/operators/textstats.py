@@ -272,6 +272,56 @@ JOIN rol ON tok.doc_id = rol.doc_id
 """.strip()
 
 
+def term_stats(docs: DataFrame, k: int = 30) -> DataFrame:
+    """Corpus vocabulary statistics — the tokenizer/IDF-table build job:
+    per term, total occurrences, document frequency, and IDF, top-k by
+    occurrence count (term as the deterministic tie-break).
+
+    The 100 TB shape: explode → groupBy(term) runs with map-side partial
+    aggregation (the shuffle carries one row per term per partition, not
+    one per token), document frequency rides the same shuffle via
+    count_distinct, the corpus size joins in as a broadcast 1-row
+    aggregate, and the final top-k is TakeOrderedAndProject (per-
+    partition heaps, no global sort shuffle)."""
+    toks = F.explode(
+        F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), "")
+    ).alias("term")
+    stats = (docs.select("doc_id", toks)
+             .groupBy("term")
+             .agg(F.count("*").alias("n_occurrences"),
+                  F.count_distinct("doc_id").alias("n_docs")))
+    total = docs.agg(F.count("*").alias("n_total"))
+    return (stats.crossJoin(F.broadcast(total))
+            .select("term", "n_occurrences", "n_docs",
+                    F.round(F.log((F.col("n_total") + 1.0)
+                                  / (F.col("n_docs") + 1.0)), 6)
+                    .alias("idf"))
+            .orderBy(F.col("n_occurrences").desc(), F.col("term"))
+            .limit(k))
+
+
+def term_stats_oracle(table: str = "documents", k: int = 30) -> str:
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(lower(text), '{_TOKEN_RE}'),
+                            x -> x <> '')) AS term
+  FROM {table}
+),
+s AS (
+  SELECT term, count(*)::BIGINT AS n_occurrences,
+         count(DISTINCT doc_id)::BIGINT AS n_docs
+  FROM t GROUP BY term
+),
+n AS (SELECT count(*)::BIGINT AS n_total FROM {table})
+SELECT term, n_occurrences, n_docs,
+       round(ln((n_total + 1.0) / (n_docs + 1.0)), 6) AS idf
+FROM s, n
+ORDER BY n_occurrences DESC, term
+LIMIT {k}
+""".strip()
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by content fingerprint: keep min doc_id,
     count group size. hash-groupBy — one shuffle on the fingerprint,

@@ -20,7 +20,8 @@ def entrymod():
 
 
 TRAINING_QUERIES = [
-    "doc_text_profile", "doc_exact_dedup", "media_audio_frames",
+    "doc_text_profile", "corpus_term_stats", "doc_exact_dedup",
+    "media_audio_frames",
     "media_video_samples", "doc_sample_stratified", "corpus_mix_report",
     "dedup_keep_list",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "dedup_simhash",
