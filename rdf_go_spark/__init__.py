@@ -53,3 +53,13 @@ def sparql(triples, query: str):
     stays importable without a JVM."""
     from .operators.sparql import sparql_select
     return sparql_select(triples, query)
+
+
+def update(triples, update_str: str):
+    """Apply a SPARQL UPDATE string (INSERT DATA / DELETE DATA /
+    DELETE WHERE / DELETE {} INSERT {} WHERE {}, ';'-sequenced) to a
+    triples DataFrame and return the post-update graph. Write it back
+    through ``operators.graph.incremental_update`` to rewrite only the
+    partitions the delta touched (scripts/run_pipeline.py --update)."""
+    from .operators.sparql import sparql_update
+    return sparql_update(triples, update_str)

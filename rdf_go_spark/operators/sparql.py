@@ -52,6 +52,18 @@ Supported subset (documented, rejected-with-error beyond it)::
       (?v may be a pattern var, an aggregate alias, or a
        SELECT-expression alias)
 
+SPARQL 1.1 Update subset (``sparql_update`` / ``update_sql`` twin)::
+
+    INSERT DATA { ground triples }    DELETE DATA { ground triples }
+    DELETE WHERE { patterns }         (pattern block = its own template)
+    DELETE { tmpl } [INSERT { tmpl }] WHERE { any WHERE group }
+    INSERT { tmpl } WHERE { ... }     op ; op ; ...   (sequenced)
+
+Updates return the post-update graph as a DataFrame — set semantics on
+(subj, pred, obj), deletes before inserts per op, lineage columns
+preserved on survivors; write back via graph.incremental_update
+(scripts/run_pipeline.py --update) to rewrite only touched partitions.
+
 Numeric positions (FILTER comparisons to an integer, SUM/MIN/MAX/AVG)
 operate on the canonical ``"n"^^xsd:integer`` literal form the pipeline
 emits, extracting the integer identically on both engines; non-integer
@@ -77,7 +89,7 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
     "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
-    "BIND",
+    "BIND", "INSERT", "DELETE", "DATA",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
     "AS",
     "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE",
@@ -976,6 +988,231 @@ def parse_sparql(text: str) -> ParsedQuery:
     return _Parser(_tokenize(text), text).parse()
 
 
+# ------------------------------------------------------------- UPDATE
+
+@dataclass
+class UpdateOp:
+    """One SPARQL 1.1 Update operation, normalized: ground data for the
+    *_DATA forms, construct-form queries (template + shared WHERE) for
+    the pattern forms. The graph after the op is
+    ``(G ∖ delete-set) ∪ insert-set`` with set semantics on
+    (subj, pred, obj)."""
+    delete_data: List[Tuple[str, str, str]] = field(default_factory=list)
+    insert_data: List[Tuple[str, str, str]] = field(default_factory=list)
+    delete_q: Optional[ParsedQuery] = None
+    insert_q: Optional[ParsedQuery] = None
+
+
+def _construct_query(template, blocks) -> ParsedQuery:
+    return ParsedQuery(form="construct", distinct=False, projection=[],
+                       blocks=blocks, group_by=[], order_by=[],
+                       limit=None, template=template, describe=[],
+                       having=[], offset=None)
+
+
+class _UpdateParser(_Parser):
+    """SPARQL 1.1 Update subset: INSERT DATA / DELETE DATA /
+    DELETE WHERE / DELETE {} INSERT {} WHERE {} (either part optional),
+    sequenced with ';'. GRAPH-targeted updates are not supported (the
+    materialized store's graph column is provenance-managed)."""
+
+    def parse_update(self) -> List[UpdateOp]:
+        while self.at_kw("PREFIX"):
+            self.take()
+            p = self.take()
+            if p.kind != "pname" or not p.val.endswith(":"):
+                raise SparqlError(f"bad PREFIX name {p.val!r}")
+            iri = self.take()
+            if iri.kind != "iri":
+                raise SparqlError("PREFIX needs an <iri>")
+            self.prefixes[p.val[:-1]] = iri.val[1:-1]
+        ops = [self._update_op()]
+        while self.at_op(";"):
+            self.take()
+            if self.peek() is None:
+                break               # trailing ';' is legal
+            ops.append(self._update_op())
+        if self.peek() is not None:
+            raise SparqlError(f"unexpected trailing {self.peek().val!r}")
+        return ops
+
+    def _braced_triples(self, ground: bool) -> List[Tuple[str, str, str]]:
+        tmpl: List[Tuple[str, str, str]] = []
+        self.expect_op("{")
+        while not self.at_op("}"):
+            self._triples_into(tmpl)
+        self.take()
+        if ground:
+            for t in tmpl:
+                for term in t:
+                    if term.startswith("?"):
+                        raise SparqlError(
+                            f"INSERT/DELETE DATA takes ground triples, "
+                            f"got variable {term}")
+        if not tmpl:
+            raise SparqlError("empty update triple block")
+        return tmpl
+
+    def _update_op(self) -> UpdateOp:
+        t = self.take()
+        if t.kind != "kw" or t.val not in ("INSERT", "DELETE"):
+            raise SparqlError(
+                f"expected INSERT or DELETE, got {t.val!r}")
+        if t.val == "INSERT":
+            if self.at_kw("DATA"):
+                self.take()
+                return UpdateOp(
+                    insert_data=self._braced_triples(ground=True))
+            tmpl = self._braced_triples(ground=False)
+            self.expect_kw("WHERE")
+            blocks = self._where_blocks()
+            return UpdateOp(insert_q=_construct_query(tmpl, blocks))
+        # DELETE ...
+        if self.at_kw("DATA"):
+            self.take()
+            return UpdateOp(delete_data=self._braced_triples(ground=True))
+        if self.at_kw("WHERE"):
+            # DELETE WHERE { pats }: the pattern block is its own
+            # template (SPARQL 1.1 §3.1.3 — triples only, no FILTER)
+            self.take()
+            pats = self._braced_triples(ground=False)
+            blk = _Block(patterns=list(pats))
+            return UpdateOp(delete_q=_construct_query(pats, [blk]))
+        del_tmpl = self._braced_triples(ground=False)
+        ins_tmpl: List[Tuple[str, str, str]] = []
+        if self.at_kw("INSERT"):
+            self.take()
+            ins_tmpl = self._braced_triples(ground=False)
+        self.expect_kw("WHERE")
+        blocks = self._where_blocks()
+        return UpdateOp(
+            delete_q=_construct_query(del_tmpl, blocks),
+            insert_q=_construct_query(ins_tmpl, blocks) if ins_tmpl
+            else None)
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def parse_update(text: str) -> List[UpdateOp]:
+    return _UpdateParser(_tokenize(text), text).parse_update()
+
+
+def sparql_update(triples: DataFrame, update: str) -> DataFrame:
+    """Apply a SPARQL UPDATE string to a triples DataFrame and return
+    the post-update graph — ``(G ∖ deletes) ∪ inserts`` per op, set
+    semantics on (subj, pred, obj).
+
+    Non-(subj, pred, obj) columns (lineage, graph, obj_is_literal) are
+    PRESERVED on surviving rows; inserted rows carry obj_is_literal
+    derived from the term form and NULL lineage (an update is not an
+    extraction — it has no conversation provenance). Deletions remove
+    every copy of a matched triple (RDF graphs are sets; the store's
+    bag-with-lineage view collapses on delete, the same way the
+    reference's Graph.Remove drops the statement).
+
+    At scale each op is: one anti join on the (small) delete set + one
+    anti-join-guarded union of the insert set — both broadcastable when
+    the delta is small, which is the update-workload shape; writing the
+    result through graph.incremental_update rewrites only the
+    partitions the delta touched."""
+    spark = triples.sparkSession
+    extra = [c for c in triples.columns
+             if c not in ("subj", "pred", "obj")]
+
+    def _lit_df(rows):
+        df = spark.createDataFrame(rows, ["subj", "pred", "obj"])
+        return df
+
+    def _with_extras(df):
+        cols = [F.col("subj"), F.col("pred"), F.col("obj")]
+        for c in extra:
+            if c == "obj_is_literal":
+                cols.append(F.col("obj").startswith('"')
+                            .alias("obj_is_literal"))
+            else:
+                cols.append(F.lit(None).cast(
+                    dict(triples.dtypes)[c]).alias(c))
+        return df.select(*cols)
+
+    cur = triples
+    for op in parse_update(update):
+        dels = None
+        if op.delete_data:
+            dels = _lit_df(op.delete_data)
+        elif op.delete_q is not None:
+            dels = _exec_query(cur, op.delete_q)
+        ins = None
+        if op.insert_data:
+            ins = _lit_df(op.insert_data)
+        elif op.insert_q is not None:
+            ins = _exec_query(cur, op.insert_q)
+        nxt = cur
+        if dels is not None:
+            nxt = nxt.join(F.broadcast(dels.select("subj", "pred", "obj")
+                                       .distinct()),
+                           on=["subj", "pred", "obj"], how="left_anti")
+        if ins is not None:
+            # SPARQL op order: deletes apply first, THEN inserts — so a
+            # triple both deleted and inserted by one op survives; the
+            # presence check runs against the post-delete graph
+            fresh = (ins.select("subj", "pred", "obj").distinct()
+                     .join(nxt.select("subj", "pred", "obj").distinct(),
+                           on=["subj", "pred", "obj"], how="left_anti"))
+            nxt = nxt.unionByName(_with_extras(fresh))
+        cur = nxt
+    return cur
+
+
+def update_sql(update: str, base_cte: str) -> str:
+    """DuckDB twin of ``sparql_update`` (projected to subj, pred, obj):
+    iterates the ops as chained CTEs — g0 = base, g_{k+1} =
+    (g_k ∖ deletes_k) ∪ (inserts_k ∖ g_k)."""
+    ops = parse_update(update)
+    parts = [f"g0 AS (SELECT subj, pred, obj FROM ({base_cte}) b0)"]
+    for k, op in enumerate(ops):
+        cur, nxt = f"g{k}", f"g{k + 1}"
+        if op.delete_data:
+            rows = ", ".join(
+                "(" + ", ".join(_sql_str(t) for t in tr) + ")"
+                for tr in op.delete_data)
+            dels = f"(SELECT * FROM (VALUES {rows}) d(subj, pred, obj))"
+        elif op.delete_q is not None:
+            dels = "(" + _parsed_sql(op.delete_q, f"SELECT * FROM {cur}",
+                                     f"b_{k}d") + ")"
+        else:
+            dels = None
+        if op.insert_data:
+            rows = ", ".join(
+                "(" + ", ".join(_sql_str(t) for t in tr) + ")"
+                for tr in op.insert_data)
+            ins = f"(SELECT * FROM (VALUES {rows}) i(subj, pred, obj))"
+        elif op.insert_q is not None:
+            ins = "(" + _parsed_sql(op.insert_q, f"SELECT * FROM {cur}",
+                                    f"b_{k}i") + ")"
+        else:
+            ins = None
+        kept = f"SELECT subj, pred, obj FROM {cur} c"
+        if dels:
+            kept += (f" WHERE NOT EXISTS (SELECT 1 FROM {dels} dl "
+                     f"WHERE dl.subj = c.subj AND dl.pred = c.pred "
+                     f"AND dl.obj = c.obj)")
+        parts.append(f"{nxt}_kept AS ({kept})")
+        body = f"SELECT subj, pred, obj FROM {nxt}_kept"
+        if ins:
+            # insert checks presence against the POST-delete graph, so a
+            # triple both deleted and inserted by one op survives
+            body += (f" UNION ALL SELECT DISTINCT subj, pred, obj "
+                     f"FROM {ins} it "
+                     f"WHERE NOT EXISTS (SELECT 1 FROM {nxt}_kept kp "
+                     f"WHERE kp.subj = it.subj AND kp.pred = it.pred "
+                     f"AND kp.obj = it.obj)")
+        parts.append(f"{nxt} AS ({body})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT subj, pred, obj FROM g{len(ops)}")
+
+
 # ----------------------------------------------------------- DataFrame
 
 def _int_col(name: str) -> "F.Column":
@@ -1277,7 +1514,11 @@ def _solution_body_sql(q: ParsedQuery, base_name: str) -> Tuple[str, list]:
 def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
     """DuckDB twin: the same parsed query compiled to SQL over a triples
     CTE — the oracle for driver SPARQL queries."""
-    q = parse_sparql(query)
+    return _parsed_sql(parse_sparql(query), base_cte, base_name)
+
+
+def _parsed_sql(q: ParsedQuery, base_cte: str,
+                base_name: str = "base") -> str:
     if q.blocks:
         body, _ = _solution_body_sql(q, base_name)
         inner = f"WITH {base_name} AS ({base_cte})\n{body}"

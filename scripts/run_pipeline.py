@@ -25,19 +25,28 @@ import time
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True,
-                    help="parquet dir of transcripts, or synth:<n_conv>")
+    ap.add_argument("--input", default=None,
+                    help="parquet dir of transcripts, or synth:<n_conv> "
+                         "(not needed with --update)")
     ap.add_argument("--output", required=True, help="graph table root")
     ap.add_argument("--partitions", type=int, default=32)
     ap.add_argument("--no-payload", action="store_true")
     ap.add_argument("--query", default=None,
                     help="SPARQL SELECT/CONSTRUCT/ASK/DESCRIBE string to "
                          "run over the materialized graph after the write")
+    ap.add_argument("--update", default=None,
+                    help="SPARQL UPDATE string (INSERT/DELETE DATA, "
+                         "DELETE WHERE, DELETE{}INSERT{}WHERE{}) applied "
+                         "to the EXISTING graph at --output; only the "
+                         "partitions the delta touches are rewritten "
+                         "(--input is ignored in this mode)")
     ap.add_argument("--incremental", action="store_true",
                     help="checksum-diff maintenance of an existing graph: "
                          "rewrite only partitions whose content changed "
                          "(graph.incremental_update)")
     args = ap.parse_args()
+    if not args.update and not args.input:
+        ap.error("--input is required unless --update is given")
 
     from pyspark.sql import SparkSession
     spark = SparkSession.builder.appName("rdf_go_spark_pipeline").getOrCreate()
@@ -48,6 +57,25 @@ def main() -> None:
     from rdf_go_spark.sources.transcripts import (
         synth_entities, synth_transcripts,
     )
+
+    if args.update:
+        # graph-maintenance mode: read the committed store, apply the
+        # SPARQL UPDATE, checksum-diff-rewrite only changed partitions
+        from rdf_go_spark.operators import graph
+        from rdf_go_spark.operators.sparql import sparql_update
+
+        t0 = time.perf_counter()
+        g = graph.read_graph(spark, args.output).drop("part_id")
+        updated = sparql_update(g, args.update)
+        summary = graph.incremental_update(updated, args.output,
+                                           n_partitions=args.partitions)
+        summary["n_unchanged_partitions"] = len(summary.pop("unchanged"))
+        summary["n_removed_partitions"] = len(summary.pop("removed"))
+        summary["seconds"] = round(time.perf_counter() - t0, 2)
+        summary["n_written_partitions"] = len(summary.pop("written"))
+        print(json.dumps(summary))
+        spark.stop()
+        return
 
     if args.input.startswith("synth:"):
         transcripts = synth_transcripts(spark, int(args.input[6:]))

@@ -722,3 +722,93 @@ class TestQuadIntegration:
         back = graph.read_graph(spark, root).select("subj", "pred", "obj")
         assert sorted(map(tuple, back.collect())) == sorted(
             map(tuple, derived.select("subj", "pred", "obj").collect()))
+
+
+class TestSparqlUpdate:
+    """SPARQL 1.1 Update subset: every form cross-checked against the
+    chained-CTE DuckDB twin (update_sql), plus op-order semantics and
+    ground-data validation."""
+
+    CASES = [
+        'INSERT DATA { <e> <http://x/p> <f> . <http://x/a> <http://x/p>'
+        ' <http://x/b> }',
+        'DELETE DATA { <http://x/a> <http://x/age>'
+        ' "3"^^<http://www.w3.org/2001/XMLSchema#integer> }',
+        'DELETE WHERE { ?s <http://x/knows> ?o }',
+        'PREFIX x: <http://x/> DELETE { ?s x:knows ?o } '
+        'INSERT { ?s x:knew ?o } WHERE { ?s x:knows ?o }',
+        'PREFIX x: <http://x/> INSERT { ?o x:knownBy ?s } '
+        'WHERE { ?s x:knows ?o }',
+        'INSERT DATA { <e> <http://x/p> <f> } ; '
+        'DELETE DATA { <e> <http://x/p> <f> }',
+        'PREFIX x: <http://x/> DELETE { ?s x:knows ?o } '
+        'INSERT { ?s x:knows ?o } WHERE { ?s x:knows ?o }',
+        'PREFIX x: <http://x/> DELETE { ?s ?p ?o } '
+        'WHERE { ?s ?p ?o . FILTER(STRSTARTS(?s, "http://x/a")) }',
+    ]
+
+    @pytest.mark.parametrize("u", CASES)
+    def test_update_matches_sql_twin(self, tiny, u):
+        from rdf_go_spark.operators.sparql import sparql_update, update_sql
+        out = sparql_update(tiny, u)
+        sp = sorted((r.subj, r.pred, r.obj) for r in out.collect())
+        du = sorted(tuple(r) for r in
+                    duckdb.sql(update_sql(u, _tiny_cte())).fetchall())
+        assert sp == du
+
+    def test_delete_then_insert_same_triple_survives(self, tiny):
+        # SPARQL op order: deletes first, then inserts — identity update
+        from rdf_go_spark.operators.sparql import sparql_update
+        u = ('PREFIX x: <http://x/> DELETE { ?s x:knows ?o } '
+             'INSERT { ?s x:knows ?o } WHERE { ?s x:knows ?o }')
+        before = sorted(map(tuple, tiny.select("subj", "pred", "obj")
+                            .collect()))
+        after = sorted(map(tuple, sparql_update(tiny, u)
+                           .select("subj", "pred", "obj").collect()))
+        assert before == after
+
+    def test_insert_is_set_semantics(self, tiny):
+        from rdf_go_spark.operators.sparql import sparql_update
+        u = ('INSERT DATA { <http://x/a> <http://x/knows> <http://x/b> }')
+        assert sparql_update(tiny, u).count() == tiny.count()
+
+    def test_extra_columns_preserved_and_derived(self, spark):
+        from rdf_go_spark.operators.sparql import sparql_update
+        df = spark.createDataFrame(
+            [("<s>", "<p>", "<o>", False, "c1", 3)],
+            "subj string, pred string, obj string, obj_is_literal boolean,"
+            "conv_id string, turn_idx int")
+        out = sparql_update(df, 'INSERT DATA { <s2> <p> "lit" }')
+        rows = {r.subj: r for r in out.collect()}
+        assert rows["<s>"].obj_is_literal is False
+        assert rows["<s2>"].obj_is_literal is True   # derived from term
+        assert rows["<s>"].conv_id == "c1" and rows["<s>"].turn_idx == 3
+        assert rows["<s2>"].conv_id is None
+
+    def test_rejects(self, tiny):
+        from rdf_go_spark.operators.sparql import parse_update
+        with pytest.raises(SparqlError, match="ground"):
+            parse_update('INSERT DATA { ?s <p> <o> }')
+        with pytest.raises(SparqlError, match="empty update"):
+            parse_update('INSERT DATA { }')
+        with pytest.raises(SparqlError, match="INSERT or DELETE"):
+            parse_update('SELECT ?s WHERE { ?s ?p ?o }')
+        with pytest.raises(SparqlError, match="WHERE|end of query"):
+            parse_update('DELETE { <a> <p> <o> }')
+
+    def test_store_roundtrip_noop_rewrites_nothing(self, spark, tmp_path):
+        """Graph-store integration: apply a no-op update through
+        incremental_update — the checksum diff must rewrite ZERO
+        partitions (the 100 TB maintenance property)."""
+        from rdf_go_spark.operators import graph
+        from rdf_go_spark.operators.sparql import sparql_update
+        from rdf_go_spark.plans.pipeline import kg_triples
+        root = str(tmp_path / "upd_store")
+        t = kg_triples(spark, "/root/testdata/sf0.001")
+        graph.materialize(t, root, n_partitions=4)
+        g = graph.read_graph(spark, root).drop("part_id")
+        updated = sparql_update(
+            g, 'DELETE WHERE { ?s <http://example.org/v/nope> ?o }')
+        summary = graph.incremental_update(updated, root, n_partitions=4)
+        assert summary["written"] == []
+        assert len(summary["unchanged"]) == 4
