@@ -42,12 +42,14 @@ unrestricted ``?x <p>* ?y`` raises instead of scanning: pass
 ``id_nodes=graph_nodes(triples)`` to opt into spec node-universe
 semantics explicitly.
 
-Semantics: ``path_pairs`` returns the DISTINCT (src, dst) node pairs
-connected by the path — set semantics, matching SPARQL's definition for
-``+`` (ALP is duplicate-free) and giving alternation/sequence a clean
-relational meaning both engines state identically. The DuckDB twin
-(``path_sql``) compiles the same AST to nested joins / UNION / a bounded
-recursive CTE.
+Semantics: ``path_pairs`` returns the (src, dst) node pairs connected
+by the path with SPARQL 1.1 §18.4 CARDINALITY — seq / alt / inverse /
+negated sets / {n,m} keep bag semantics (one row per derivation, the
+W3C pp11/pp31 behavior), while the closure forms (`+`, `*`) and
+zero-length components are duplicate-free (ALP / ZeroLengthPath are
+defined as sets). The DuckDB twin (``path_sql``) compiles the same AST
+to nested joins / UNION [ALL] / a bounded recursive CTE with identical
+cardinality.
 """
 
 from __future__ import annotations
@@ -59,6 +61,7 @@ from pyspark.sql import functions as F
 
 # AST: ("iri", s) | ("inv", p) | ("seq", a, b) | ("alt", a, b)
 #      | ("plus", p) | ("rep", p, n, m) | ("zero_or", p | None)
+#      | ("distinct", p)   (internal: duplicate-free subrelation)
 # ("zero_or", p) = I ∪ p  (p* → zero_or(plus p), p? → zero_or(p),
 # p{0,m} → zero_or(rep p 1 m), p{0,0} → zero_or(None) = pure identity)
 Ast = Tuple
@@ -228,7 +231,13 @@ def split_zero_length(ast: Union[Ast, None]) -> Tuple[Union[Ast, None], bool]:
     if kind in ("iri", "nps"):
         return ast, False
     if kind == "zero_or":
+        # ZeroOrOnePath / ZeroLengthPath results are duplicate-free per
+        # §18.4 (unlike seq/alt, which keep bag semantics) — wrap the
+        # remaining relation so its duplicates collapse at this level
         r, _ = split_zero_length(ast[1])
+        if r is not None and r[0] not in ("plus", "distinct", "iri",
+                                          "nps"):
+            r = ("distinct", r)
         return r, True
     if kind == "inv":
         r, has_id = split_zero_length(ast[1])
@@ -298,6 +307,8 @@ def _rep_expand(ast: Ast) -> Ast:
 
 def _compile_df(ast: Ast, base: DataFrame) -> DataFrame:
     kind = ast[0]
+    if kind == "distinct":
+        return _compile_df(ast[1], base).distinct()
     if kind == "zero_or":
         raise AssertionError(
             "zero_or must be eliminated via split_zero_length before "
@@ -334,9 +345,12 @@ def _compile_df(ast: Ast, base: DataFrame) -> DataFrame:
 
 def path_pairs(triples: DataFrame, path: str,
                id_nodes: DataFrame = None) -> DataFrame:
-    """DISTINCT (src, dst) pairs connected by ``path`` over the triples
-    table. Inner nodes dedupe only at the top (one final shuffle);
-    ``+`` sub-paths are internally distinct already (closure).
+    """(src, dst) pairs connected by ``path`` over the triples table —
+    SPARQL 1.1 §18.4 semantics: seq/alt/inv/nps/{n,m} keep BAG
+    cardinality (one row per derivation — W3C pp11/pp31), while the
+    closure (`+`, `*`) and zero-length forms are duplicate-free (ALP /
+    ZeroLengthPath are defined as sets). Add .distinct() for set
+    semantics when the use site wants unique pairs.
 
     ``id_nodes``: single-column DataFrame of nodes the zero-length
     component (``*``/``?``/``{0,m}``) relates to themselves. Required
@@ -356,13 +370,19 @@ def path_pairs(triples: DataFrame, path: str,
                 "100 TB")
         node = F.col(id_nodes.columns[0])
         ident = id_nodes.select(node.alias("src"),
-                                node.alias("dst"))
-        out = ident if out is None else out.unionByName(ident)
-    return out.distinct()
+                                node.alias("dst")).distinct()
+        # the union with identity is a set union per §18.4 ZeroOrOne/
+        # ZeroLength (the R side is already duplicate-free here: it is
+        # a closure or wrapped ("distinct", …) by split_zero_length)
+        out = ident if out is None else out.unionByName(ident).distinct()
+    return out
 
 
 def _compile_sql(ast: Ast, base_name: str) -> str:
     kind = ast[0]
+    if kind == "distinct":
+        return (f"(SELECT DISTINCT src, dst FROM "
+                f"{_compile_sql(ast[1], base_name)} dt)")
     if kind == "zero_or":
         raise AssertionError(
             "zero_or must be eliminated via split_zero_length before "
@@ -430,10 +450,14 @@ def path_sql(path: str, base_cte: str, base_name: str = "base",
         parts.append(f"SELECT src, dst FROM "
                      f"{_compile_sql(r_ast, base_name)} path_r")
     if has_id:
-        ident = (f"(SELECT node AS src, node AS dst FROM "
+        ident = (f"(SELECT DISTINCT node AS src, node AS dst FROM "
                  f"{id_nodes_sql} idn)") if id_nodes_sql \
             else _identity_sql(base_name)
         parts.append(f"SELECT src, dst FROM {ident} path_i")
-    body = "(" + " UNION ALL ".join(parts) + ")"
+        # set union with the identity component (§18.4 ZeroLengthPath)
+        body = "(" + " UNION ".join(parts) + ")"
+    else:
+        # bag cardinality for seq/alt/inv/nps/{n,m} (W3C pp11/pp31)
+        body = "(" + " UNION ALL ".join(parts) + ")"
     return (f"WITH {base_name} AS ({base_cte})\n"
-            f"SELECT DISTINCT src, dst FROM {body} path_t")
+            f"SELECT src, dst FROM {body} path_t")

@@ -319,7 +319,13 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
         raise ValueError("GRAPH pattern needs a quads table with a "
                          "'graph' column")
     cols = (("graph",) + _POSITIONS) if graph is not None else _POSITIONS
-    base = triples.select(*cols)
+    if graph is None and "graph" in triples.columns:
+        # SPARQL dataset semantics: patterns OUTSIDE a GRAPH block match
+        # the DEFAULT graph only (graph NULL) — named-graph quads are
+        # invisible to them (W3C sparql10/graph suite)
+        base = triples.filter(F.col("graph").isNull()).select(*cols)
+    else:
+        base = triples.select(*cols)
     if graph is not None:
         # GRAPH matches named graphs only — default-graph quads
         # (graph NULL) are invisible inside a GRAPH block, per SPARQL
@@ -409,9 +415,10 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
             if arg not in bound:
                 raise ValueError(
                     f"BIND references unbound variable ?{arg}")
+            from .sparql import _datatype_column
             src = F.col(arg)
             col = {"LANG": F.regexp_extract(src, _LANG_RE, 1),
-                   "DATATYPE": F.regexp_extract(src, _DT_RE, 1),
+                   "DATATYPE": _datatype_column(src),
                    "STR": _str_column(src)}[fn]
         result = result.withColumn(alias, col)
         bound.append(alias)
@@ -546,9 +553,15 @@ def _filter_sql(var: str, op: str, value) -> str:
 
 def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
                   minus=(), exists=(), not_exists=(), binds=(),
-                  graph=None) -> Tuple[str, List[str]]:
+                  graph=None,
+                  base_has_graph: bool = False) -> Tuple[str, List[str]]:
     """SELECT body for a BGP block over an existing ``base_name`` CTE;
-    returns (sql, bound variable names)."""
+    returns (sql, bound variable names). ``base_has_graph``: the base
+    relation carries a ``graph`` column, so patterns OUTSIDE a GRAPH
+    block must restrict to the default graph (graph IS NULL) — the twin
+    of bgp_match's dataset semantics."""
+    eff_base = (f"(SELECT * FROM {base_name} bdg WHERE bdg.graph IS NULL)"
+                if base_has_graph and graph is None else base_name)
     selects: List[str] = []
     joins: List[str] = []
     where: List[str] = []
@@ -564,14 +577,15 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
             from .paths import (
                 _compile_sql, _identity_sql, parse_path, split_zero_length,
             )
-            # path_pairs() applies .distinct() on the Spark side (set
-            # semantics per SPARQL 1.1 §18.4) — the twin must too, or a
-            # pair reachable via two intermediate witnesses duplicates
+            # cardinality mirrors path_pairs (§18.4): bag semantics
+            # for seq/alt/inv/{n,m}, set semantics only when a
+            # zero-length identity joins in (UNION dedups; the R side
+            # is closure/("distinct",…)-wrapped by split_zero_length)
             r_ast, has_id = split_zero_length(parse_path(p))
             parts = []
             if r_ast is not None:
                 parts.append(f"SELECT src, dst FROM "
-                             f"{_compile_sql(r_ast, base_name)} pr{i}")
+                             f"{_compile_sql(r_ast, eff_base)} pr{i}")
             if has_id:
                 # identity component: a constant endpoint relates to
                 # itself unconditionally; otherwise the node universe
@@ -583,13 +597,16 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
                     c = const.replace("'", "''")
                     ident = f"(SELECT '{c}' AS src, '{c}' AS dst)"
                 else:
-                    ident = _identity_sql(base_name)
+                    ident = _identity_sql(eff_base)
                 parts.append(f"SELECT src, dst FROM {ident} pi{i}")
-            rel = ("(SELECT DISTINCT src, dst FROM ("
-                   + " UNION ALL ".join(parts) + f") pu{i})")
+                rel = ("(SELECT src, dst FROM ("
+                       + " UNION ".join(parts) + f") pu{i})")
+            else:
+                rel = (f"(SELECT src, dst FROM "
+                       f"{_compile_sql(r_ast, eff_base)} pr{i})")
             terms = [("src", s), ("dst", o)]
         else:
-            rel = base_name
+            rel = eff_base
             terms = list(zip(_POSITIONS, pat))
             if graph is not None:
                 terms.insert(0, ("graph", graph))
@@ -636,8 +653,8 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
                 extra.append(
                     f"regexp_extract({arg}, '{_LANG_RE}', 1) AS {alias}")
             elif fn == "DATATYPE":
-                extra.append(
-                    f"regexp_extract({arg}, '{_DT_RE}', 1) AS {alias}")
+                from .sparql import _datatype_sql
+                extra.append(f"{_datatype_sql(arg)} AS {alias}")
             else:
                 extra.append(f"{_str_sql(arg)} AS {alias}")
             bound.append(alias)
@@ -645,14 +662,16 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
 
     outer_conds = [_filter_sql(v, op, val) for v, op, val in filters]
     if minus:
-        msql, mvars = _bgp_sql_body(minus, base_name, graph=graph)
+        msql, mvars = _bgp_sql_body(minus, base_name, graph=graph,
+                                    base_has_graph=base_has_graph)
         shared = [v for v in mvars if v in bound]
         on = " AND ".join(f"mm.{v} = q.{v}" for v in shared)
         outer_conds.append(
             f"NOT EXISTS (SELECT 1 FROM ({msql}) mm WHERE {on})")
     for blocks, kw in ((exists, "EXISTS"), (not_exists, "NOT EXISTS")):
         for bi, pats in enumerate(blocks):
-            esql, evars = _bgp_sql_body(pats, base_name, graph=graph)
+            esql, evars = _bgp_sql_body(pats, base_name, graph=graph,
+                                        base_has_graph=base_has_graph)
             shared = [v for v in evars if v in bound]
             on = (" WHERE " + " AND ".join(
                 f"ee.{v} = q.{v}" for v in shared)) if shared else ""
@@ -672,7 +691,7 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
             exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
             not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
             binds: Sequence[Tuple[str, str, str]] = (),
-            graph: str = None) -> str:
+            graph: str = None, base_has_graph: bool = False) -> str:
     """DuckDB twin of ``bgp_match``: the same BGP (with OPTIONAL /
     FILTER / MINUS / path predicates) as self-joins over a triples CTE —
     the oracle for driver BGP queries. Optional patterns become LEFT
@@ -682,7 +701,7 @@ def bgp_sql(patterns: Sequence[Tuple[str, str, str]],
     body, _ = _bgp_sql_body(patterns, base_name, optionals=optionals,
                             filters=filters, minus=minus, exists=exists,
                             not_exists=not_exists, binds=binds,
-                            graph=graph)
+                            graph=graph, base_has_graph=base_has_graph)
     return f"WITH {base_name} AS ({base_cte})\n{body}"
 
 

@@ -217,7 +217,9 @@ def _tokenize(q: str) -> List[_Tok]:
         elif c in "{}.,;()*!=<>/|^+":
             toks.append(_Tok("op", c))
             i += 1
-        elif c in _WORD_CHARS and c not in _ASCII_DIGITS:
+        elif (c in _WORD_CHARS and c not in _ASCII_DIGITS) or c == ":":
+            # a leading ':' is the default-prefix pname sigil (':local',
+            # or the bare ':' in 'PREFIX : <iri>')
             j = i
             while j < n and _is_pname_char(q[j]):
                 j += 1
@@ -1219,27 +1221,50 @@ def _int_col(name: str) -> "F.Column":
     return F.regexp_extract(F.col(name), _INT_LIT_RE, 1).try_cast("long")
 
 
+def _datatype_column(col: "F.Column") -> "F.Column":
+    """SPARQL 1.1 DATATYPE() as a canonical IRI term: explicit ^^ type,
+    rdf:langString for lang-tagged, xsd:string for plain literals
+    (RDF 1.1), and NULL (type error → unbound) for IRIs/bnodes."""
+    dt = F.regexp_extract(col, _DT_RE, 1)
+    lang = F.regexp_extract(col, _LANG_RE, 1)
+    return F.when(
+        col.startswith('"'),
+        F.when(dt != "", F.concat(F.lit("<"), dt, F.lit(">")))
+        .when(lang != "", F.lit("<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>"))
+        .otherwise(F.lit("<http://www.w3.org/2001/XMLSchema#string>")))
+
+
 def _expr_column(p: _Proj) -> "F.Column":
     """A SELECT expression (LANG / DATATYPE / STR of a variable)."""
     col = F.col(p.var)
     if p.func == "LANG":
         c = F.regexp_extract(col, _LANG_RE, 1)
     elif p.func == "DATATYPE":
-        c = F.regexp_extract(col, _DT_RE, 1)
+        c = _datatype_column(col)
     else:                               # STR
         c = _str_column(col)
     return c.alias(p.alias)
 
 
-def _proj_columns(projection) -> list:
+def _proj_columns(projection, available=None) -> list:
+    """Projection columns; with ``available`` (the solution's column
+    set), a var/expression over an UNDEFINED variable projects NULL —
+    SPARQL expression errors leave the binding unbound instead of
+    failing the query (W3C project-expression suite)."""
     cols = []
     for p in projection:
         if p.kind == "var":
-            cols.append(F.col(p.var))
+            if available is not None and p.var not in available:
+                cols.append(F.lit(None).cast("string").alias(p.var))
+            else:
+                cols.append(F.col(p.var))
         elif p.kind == "agg":
             cols.append(F.col(p.alias))
         elif p.kind == "expr":
-            cols.append(_expr_column(p))
+            if available is not None and p.var not in available:
+                cols.append(F.lit(None).cast("string").alias(p.alias))
+            else:
+                cols.append(_expr_column(p))
     return cols
 
 
@@ -1384,14 +1409,14 @@ def _exec_query(triples: DataFrame, q: ParsedQuery) -> DataFrame:
             sol = sol.filter(
                 {"=": c == val, "!=": c != val, "<": c < val,
                  "<=": c <= val, ">": c > val, ">=": c >= val}[op])
-        sol = sol.select(*_proj_columns(q.projection))
+        sol = sol.select(*_proj_columns(q.projection, set(sol.columns)))
         sol = _order_slice(sol, q)
     else:
         star = any(p.kind == "star" for p in q.projection)
         if q.distinct:
             # SPARQL restricts ORDER BY to projected vars under DISTINCT
             if not star:
-                sol = sol.select(*_proj_columns(q.projection))
+                sol = sol.select(*_proj_columns(q.projection, set(sol.columns)))
             sol = _order_slice(sol.distinct(), q)
         else:
             # ORDER BY runs pre-projection in the SPARQL algebra, so it
@@ -1401,10 +1426,13 @@ def _exec_query(triples: DataFrame, q: ParsedQuery) -> DataFrame:
             for p in q.projection:
                 if (p.kind == "expr" and p.alias not in sol.columns
                         and any(v == p.alias for v, _ in q.order_by)):
-                    sol = sol.withColumn(p.alias, _expr_column(p))
+                    sol = sol.withColumn(
+                        p.alias, _expr_column(p)
+                        if p.var in sol.columns
+                        else F.lit(None).cast("string"))
             sol = _order_slice(sol, q)
             if not star:
-                sol = sol.select(*_proj_columns(q.projection))
+                sol = sol.select(*_proj_columns(q.projection, set(sol.columns)))
     return sol
 
 
@@ -1458,7 +1486,8 @@ def _agg_sql(p: _Proj) -> str:
     return f"{_agg_sql_expr(p)} AS {p.alias}"
 
 
-def _block_body_sql(blk: _Block, base_name: str) -> Tuple[str, list]:
+def _block_body_sql(blk: _Block, base_name: str,
+                    base_has_graph: bool = False) -> Tuple[str, list]:
     """One block's solution body (no WITH): patterns via _bgp_sql_body,
     then subselect bodies joined on shared variables."""
     from .query import _bgp_sql_body
@@ -1466,11 +1495,13 @@ def _block_body_sql(blk: _Block, base_name: str) -> Tuple[str, list]:
     # dropped on one side (it bit twice: exists, binds)
     kw = blk.kwargs()
     if blk.patterns:
-        body, bound = _bgp_sql_body(kw.pop("patterns"), base_name, **kw)
+        body, bound = _bgp_sql_body(kw.pop("patterns"), base_name,
+                                    base_has_graph=base_has_graph, **kw)
     else:
         body, bound = None, []
     for i, sub in enumerate(blk.subselects):
-        sub_body, sub_vars = _select_body_sql(sub, base_name)
+        sub_body, sub_vars = _select_body_sql(sub, base_name,
+                                              base_has_graph)
         if body is None:
             body, bound = (f"SELECT * FROM (\n{sub_body}\n) sq{i}",
                            list(sub_vars))
@@ -1491,10 +1522,12 @@ def _block_body_sql(blk: _Block, base_name: str) -> Tuple[str, list]:
     return body, bound
 
 
-def _solution_body_sql(q: ParsedQuery, base_name: str) -> Tuple[str, list]:
+def _solution_body_sql(q: ParsedQuery, base_name: str,
+                       base_has_graph: bool = False) -> Tuple[str, list]:
     """WHERE-clause solution body for all of a query's blocks (UNION
     aligned on the union of variables, NULL-padded)."""
-    bodies = [_block_body_sql(b, base_name) for b in q.blocks]
+    bodies = [_block_body_sql(b, base_name, base_has_graph)
+              for b in q.blocks]
     if len(bodies) == 1:
         return bodies[0]
     all_vars: List[str] = []
@@ -1511,16 +1544,21 @@ def _solution_body_sql(q: ParsedQuery, base_name: str) -> Tuple[str, list]:
     return "\nUNION ALL\n".join(parts), all_vars
 
 
-def sparql_sql(query: str, base_cte: str, base_name: str = "base") -> str:
+def sparql_sql(query: str, base_cte: str, base_name: str = "base",
+               base_has_graph: bool = False) -> str:
     """DuckDB twin: the same parsed query compiled to SQL over a triples
-    CTE — the oracle for driver SPARQL queries."""
-    return _parsed_sql(parse_sparql(query), base_cte, base_name)
+    CTE — the oracle for driver SPARQL queries. ``base_has_graph``:
+    the base CTE carries a graph column, so non-GRAPH patterns match
+    the default graph only (bgp_match dataset semantics)."""
+    return _parsed_sql(parse_sparql(query), base_cte, base_name,
+                       base_has_graph)
 
 
 def _parsed_sql(q: ParsedQuery, base_cte: str,
-                base_name: str = "base") -> str:
+                base_name: str = "base",
+                base_has_graph: bool = False) -> str:
     if q.blocks:
-        body, _ = _solution_body_sql(q, base_name)
+        body, _ = _solution_body_sql(q, base_name, base_has_graph)
         inner = f"WITH {base_name} AS ({base_cte})\n{body}"
     else:
         inner = None    # DESCRIBE <iri> without WHERE
@@ -1561,15 +1599,24 @@ def _parsed_sql(q: ParsedQuery, base_cte: str,
         return (f"WITH sparql_sol AS (\n{inner}\n)\n"
                 + "\nUNION\n".join(parts))
 
-    body, _ = _select_body_sql(q, base_name)
+    body, _ = _select_body_sql(q, base_name, base_has_graph)
     return f"WITH {base_name} AS ({base_cte})\n{body}"
+
+
+def _datatype_sql(name: str) -> str:
+    return ("CASE WHEN " + name + " LIKE '\"%' THEN "
+            "CASE WHEN regexp_extract(" + name + ", '" + _DT_RE
+            + "', 1) <> '' THEN '<' || regexp_extract(" + name + ", '"
+            + _DT_RE + "', 1) || '>' WHEN regexp_extract(" + name
+            + ", '" + _LANG_RE + "', 1) <> '' THEN '<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>' "
+            "ELSE '<http://www.w3.org/2001/XMLSchema#string>' END END")
 
 
 def _expr_sql(p: _Proj) -> str:
     if p.func == "LANG":
         e = f"regexp_extract({p.var}, '{_LANG_RE}', 1)"
     elif p.func == "DATATYPE":
-        e = f"regexp_extract({p.var}, '{_DT_RE}', 1)"
+        e = _datatype_sql(p.var)
     else:
         e = _str_sql(p.var)
     return f"{e} AS {p.alias}"
@@ -1583,12 +1630,14 @@ def _col_sql(p: _Proj) -> str:
     return _expr_sql(p)
 
 
-def _select_body_sql(q: ParsedQuery, base_name: str) -> Tuple[str, list]:
+def _select_body_sql(q: ParsedQuery, base_name: str,
+                     base_has_graph: bool = False) -> Tuple[str, list]:
     """SELECT-query body (no WITH) + its output column names — used for
     the top-level SELECT form and recursively for { SELECT } subqueries."""
     if q.form != "select":
         raise SparqlError("subqueries must be SELECT")
-    sol_body, sol_vars = _solution_body_sql(q, base_name)
+    sol_body, sol_vars = _solution_body_sql(q, base_name,
+                                            base_has_graph)
     has_agg = any(p.kind == "agg" for p in q.projection) or bool(q.group_by)
     star = any(p.kind == "star" for p in q.projection)
     if has_agg:

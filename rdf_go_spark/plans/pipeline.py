@@ -376,7 +376,9 @@ def kg_property_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.paths import path_pairs
 
-    return (path_pairs(_query_graph(spark, sf_dir), _PATH_EXPR)
+    # .distinct(): the driver query wants the unique (conv, value) set —
+    # path_pairs itself keeps spec bag cardinality for seq/alt (§18.4)
+    return (path_pairs(_query_graph(spark, sf_dir), _PATH_EXPR).distinct()
             .select(F.col("src").alias("conv"), F.col("dst").alias("val")))
 
 
@@ -384,7 +386,7 @@ def kg_property_path_oracle_sql(n_conv: int) -> str:
     from ..operators.paths import path_sql
 
     inner = path_sql(_PATH_EXPR, kg_triples_oracle_sql(n_conv))
-    return f"SELECT src AS conv, dst AS val FROM (\n{inner}\n) pp"
+    return f"SELECT DISTINCT src AS conv, dst AS val FROM (\n{inner}\n) pp"
 
 
 _SPARQL_PATH_STAR = f"""

@@ -259,17 +259,19 @@ class TestBgpUnion:
                 sorted(map(tuple, got.select(*base.columns).collect()))
 
     def test_path_pred_inside_bgp(self, tiny):
-        # a pattern whose predicate is a path routes through paths.py
+        # a pattern whose predicate is a path routes through paths.py;
+        # multiset compare — seq paths keep BAG cardinality per SPARQL
+        # §18.4 (W3C pp11): (x,d) appears once per intermediate witness
+        # (x reaches both q-sources a and b through the p-cycle closure)
+        want = [("<a>", "<d>"), ("<a>", "<d>"),
+                ("<b>", "<d>"), ("<b>", "<d>")]
         out = bgp_match(tiny, [("?x", "<p>+/<q>", "?d"),
                                ("?x", "<age>", "?n")])
-        # multiset compare: the twin must carry the same DISTINCT path
-        # semantics as path_pairs, not just the same set of rows
-        assert sorted((r.x, r.d) for r in out.collect()) == [
-            ("<a>", "<d>"), ("<b>", "<d>")]
+        assert sorted((r.x, r.d) for r in out.collect()) == want
         sql = bgp_sql([("?x", "<p>+/<q>", "?d"), ("?x", "<age>", "?n")],
                       _tiny_cte())
         duck_rows = sorted(tuple(r)[:2] for r in duckdb.sql(sql).fetchall())
-        assert duck_rows == [("<a>", "<d>"), ("<b>", "<d>")]
+        assert duck_rows == want
 
 
 class TestZeroLengthPaths:

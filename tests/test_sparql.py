@@ -554,7 +554,10 @@ class TestExecution:
                    (DATATYPE(?lab) AS ?dt)
             WHERE { ?d x:label ?lab }
         """)
-        assert sp == du == [("http://x/d", "en", "")]
+        # DATATYPE of a lang-tagged literal = rdf:langString (RDF 1.1)
+        assert sp == du == [(
+            "http://x/d", "en",
+            "<http://www.w3.org/1999/02/22-rdf-syntax-ns#langString>")]
         # expression over a GROUP BY var, mixed with an aggregate
         sp2, du2 = _both(tiny, """
             PREFIX x: <http://x/>

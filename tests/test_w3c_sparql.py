@@ -1,0 +1,74 @@
+"""W3C SPARQL 1.0/1.1 QueryEvaluationTest conformance for the text
+front-end (harness: tests/w3c_sparql.py).
+
+Buckets per directory: pass / fail / unsupported (documented-subset
+parse rejection or out-of-scope dataset features) / rejected-eval
+(engine-policy refusal, e.g. unrestricted zero-length paths).
+
+CLAIMED_DIRS pin fail == 0 and a pass floor: every query the subset
+accepts in these suites must evaluate to exactly the W3C-expected
+solutions. The non-claimed suites fail only on the documented semantic
+boundaries: the integer-only numeric model (decimal/double aggregates —
+sparql11/aggregates; typed-literal value equality — expr-builtin,
+open-world dates), and Unicode normalization (i18n). Totals floor
+guards the whole sweep against regression."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from tests.w3c_sparql import SPARQL_ROOT, run_directory
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SPARQL_ROOT), reason="rdf-tests unavailable")
+
+# (directory, minimum pass count) — fail must be 0
+CLAIMED_DIRS = [
+    ("sparql10/algebra", 4),
+    ("sparql10/ask", 4),
+    ("sparql10/basic", 10),
+    ("sparql10/bnode-coreference", 1),
+    ("sparql10/construct", 3),
+    ("sparql10/distinct", 11),
+    ("sparql10/expr-equals", 3),
+    ("sparql10/graph", 9),
+    ("sparql10/optional", 1),
+    ("sparql10/sort", 1),
+    ("sparql10/triple-match", 4),
+    ("sparql11/bindings", 1),
+    ("sparql11/grouping", 3),
+    ("sparql11/json-res", 4),
+    ("sparql11/project-expression", 3),
+    ("sparql11/property-path", 22),
+    ("sparql11/subquery", 1),
+]
+
+# known-boundary suites: pass floor only (their residual fails are the
+# documented numeric/value-space model limits, counted and pinned here
+# so an unnoticed regression still trips)
+BOUNDED_DIRS = [
+    ("sparql10/expr-builtin", 0, 3),
+    ("sparql10/i18n", 1, 1),
+    ("sparql10/open-world", 7, 3),
+    ("sparql11/aggregates", 12, 9),
+]
+
+
+@pytest.mark.parametrize("directory,floor", CLAIMED_DIRS,
+                         ids=[d for d, _ in CLAIMED_DIRS])
+def test_claimed_directory_has_no_failures(spark, directory, floor):
+    r = run_directory(spark, directory)
+    assert not r["fail"], r["fail"]
+    assert len(r["pass"]) >= floor, (
+        f"pass floor regressed: {len(r['pass'])} < {floor}")
+
+
+@pytest.mark.parametrize("directory,floor,max_fail", BOUNDED_DIRS,
+                         ids=[d for d, _, _ in BOUNDED_DIRS])
+def test_bounded_directory_within_known_limits(spark, directory, floor,
+                                               max_fail):
+    r = run_directory(spark, directory)
+    assert len(r["pass"]) >= floor
+    assert len(r["fail"]) <= max_fail, r["fail"]
