@@ -51,6 +51,7 @@ _FILTER_OPS = (
     "strends", "!strends",
     "contains", "!contains",
     "in",                              # VALUES ?x { ... } lowered to IN
+    "var=", "var!=",                   # var-to-var term equality
     "||",                              # disjunction of &&-chains (DNF)
 )
 
@@ -197,6 +198,9 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
         if not isinstance(value, (list, tuple)) or not value:
             raise ValueError("IN/VALUES needs a non-empty list of terms")
         return col.isin(list(value))
+    if op in ("var=", "var!="):
+        other = F.col(value)
+        return col == other if op == "var=" else col != other
     if op in ("lang=", "lang!="):
         got = F.regexp_extract(col, _LANG_RE, 1)
         return got == value if op == "lang=" else got != value
@@ -435,6 +439,9 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
         name = var[1:] if _is_var(var) else var
         if name not in bound:
             raise ValueError(f"FILTER references unbound variable ?{name}")
+        if op in ("var=", "var!=") and value not in bound:
+            raise ValueError(
+                f"FILTER references unbound variable ?{value}")
         result = result.filter(_filter_column(name, op, value))
     if minus:
         mdf = bgp_match(triples, minus, graph=graph,
@@ -525,6 +532,8 @@ def _filter_sql(var: str, op: str, value) -> str:
         return f"{name} IS NULL"
     if op == "in":
         return f"{name} IN ({', '.join(_sql_str(v) for v in value)})"
+    if op in ("var=", "var!="):
+        return f"{name} {'=' if op == 'var=' else '<>'} {value}"
     if op in ("lang=", "lang!="):
         got = f"regexp_extract({name}, '{_LANG_RE}', 1)"
         return f"{got} {'=' if op == 'lang=' else '<>'} {_sql_str(value)}"

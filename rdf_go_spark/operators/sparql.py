@@ -80,7 +80,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .query import (
-    _DT_RE, _INT_LIT_RE, _LANG_RE, _str_column, _str_sql, bgp_match,
+    _DT_RE, _INT_LIT_RE, _LANG_RE, _LEX_RE, _str_column, _str_sql,
+    bgp_match,
 )
 
 RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
@@ -88,6 +89,7 @@ XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 
 _KEYWORDS = {
     "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
+    "REDUCED",
     "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
     "BIND", "INSERT", "DELETE", "DATA",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
@@ -214,7 +216,7 @@ def _tokenize(q: str) -> List[_Tok]:
         elif c == ">" and q[i:i + 2] == ">=":
             toks.append(_Tok("op", ">="))
             i += 2
-        elif c in "{}.,;()*!=<>/|^+":
+        elif c in "{}.,;()*!=<>/|^+[]":
             toks.append(_Tok("op", c))
             i += 1
         elif (c in _WORD_CHARS and c not in _ASCII_DIGITS) or c == ":":
@@ -297,6 +299,7 @@ class _Parser:
     def __init__(self, toks: List[_Tok], text: str):
         self.toks, self.i, self.text = toks, 0, text
         self.prefixes: dict[str, str] = {}
+        self._anon = 0
 
     # ---- token helpers
     def peek(self, ahead: int = 0) -> Optional[_Tok]:
@@ -448,12 +451,28 @@ class _Parser:
         return self._path()   # a single IRI is the trivial path
 
     # ---- triple block
+    def _anon_var(self) -> str:
+        """Bare '[]' — an anonymous blank node in a query pattern acts
+        as a fresh NON-DISTINGUISHED variable (SPARQL §4.1.4); it joins
+        like any variable but is never projected."""
+        self.expect_op("]")
+        self._anon += 1
+        return f"?_anon{self._anon}"
+
     def _triples_into(self, out: List[Tuple[str, str, str]]) -> None:
-        subj = self._term(self.take(), "subj")
+        if self.at_op("["):
+            self.take()
+            subj = self._anon_var()
+        else:
+            subj = self._term(self.take(), "subj")
         while True:
             pred = self._predicate()
             while True:
-                obj = self._term(self.take(), "obj")
+                if self.at_op("["):
+                    self.take()
+                    obj = self._anon_var()
+                else:
+                    obj = self._term(self.take(), "obj")
                 out.append((subj, pred, obj))
                 if self.at_op(","):
                     self.take()
@@ -553,9 +572,15 @@ class _Parser:
         if rhs.kind == "int":
             value = rhs.val
         elif rhs.kind == "var":
-            raise SparqlError(
-                "variable-to-variable FILTER comparison is not "
-                "supported (compare to a constant)")
+            # var-to-var =/!= : term equality over the canonical term
+            # strings (value equality coincides on canonical forms;
+            # cross-type numeric equality is out of the integer-only
+            # numeric model). Ordering comparisons stay rejected.
+            if op.val not in ("=", "!="):
+                raise SparqlError(
+                    "variable-to-variable FILTER supports only = and != "
+                    "(term equality)")
+            return ("?" + v.val, "var" + op.val, rhs.val)
         else:
             value = self._term(rhs, "obj")
         return ("?" + v.val, op.val, value)
@@ -568,6 +593,20 @@ class _Parser:
         return conds
 
     def _filter(self, blk: _Block) -> None:
+        # FILTER [NOT] EXISTS { } — the parens around ExistsFunc are
+        # optional in the SPARQL grammar (W3C exists01 etc.)
+        if self.at_kw("EXISTS") or (
+                self.at_kw("NOT") and self.peek(1) is not None
+                and self.peek(1).kind == "kw"
+                and self.peek(1).val == "EXISTS"):
+            negated = False
+            if self.at_kw("NOT"):
+                self.take()
+                negated = True
+            self.take()      # EXISTS
+            pats = self._exists_patterns()
+            (blk.not_exists if negated else blk.exists).append(pats)
+            return
         self.expect_op("(")
         # [NOT] EXISTS is block-level (semi/anti join), not combinable
         # with boolean operators
@@ -788,6 +827,9 @@ class _Parser:
                     fn = self.take().val
                     var = self._func_var_arg(fn)
                     p = _Proj("expr", var=var[1:], func=fn)
+                elif nxt is not None and nxt.kind == "var":
+                    # (?v AS ?alias) — identity rename projection
+                    p = _Proj("expr", var=self.take().val, func="VAR")
                 else:
                     p = self._agg_call()
                 self.expect_kw("AS")
@@ -836,6 +878,12 @@ class _Parser:
         describe: List[str] = []
         if form == "select":
             if self.at_kw("DISTINCT"):
+                self.take()
+                distinct = True
+            elif self.at_kw("REDUCED"):
+                # REDUCED permits ANY duplicate elimination (§15.3.1);
+                # implementing it as DISTINCT is conformant and is what
+                # the relational engine does naturally
                 self.take()
                 distinct = True
             projection = self._projection()
@@ -1241,6 +1289,8 @@ def _expr_column(p: _Proj) -> "F.Column":
         c = F.regexp_extract(col, _LANG_RE, 1)
     elif p.func == "DATATYPE":
         c = _datatype_column(col)
+    elif p.func == "VAR":               # (?v AS ?alias) rename
+        c = col
     else:                               # STR
         c = _str_column(col)
     return c.alias(p.alias)
@@ -1436,6 +1486,32 @@ def _exec_query(triples: DataFrame, q: ParsedQuery) -> DataFrame:
     return sol
 
 
+_NUM_DT_RE = (r'\^\^<http://www\.w3\.org/2001/XMLSchema#'
+              r'(integer|decimal|double|float|long|int|short|byte|'
+              r'nonNegativeInteger|nonPositiveInteger|negativeInteger|'
+              r'positiveInteger|unsignedLong|unsignedInt|unsignedShort|'
+              r'unsignedByte)>$')
+
+
+def _order_key_columns(v: str, asc: bool) -> list:
+    """SPARQL ORDER BY comparator over canonical term strings: numeric
+    literals order by VALUE among themselves (W3C solution-seq mixes
+    xsd:integer with xsd:decimal), term classes order unbound < bnodes
+    < IRIs < literals (§15.1, W3C sort-6), and everything else by the
+    canonical term string; the numeric key is NULL for non-numerics
+    (Spark: ASC=NULLS FIRST, DESC=NULLS LAST — the twin states the same
+    null placement explicitly)."""
+    c = F.col(v)
+    rank = F.when(c.isNull(), F.lit(None).cast("int")) \
+        .when(c.startswith("_:"), F.lit(1)) \
+        .when(c.startswith("<"), F.lit(2)).otherwise(F.lit(3))
+    num = F.when(F.regexp_extract(c, _NUM_DT_RE, 0) != "",
+                 F.regexp_extract(c, _LEX_RE, 1).try_cast("double"))
+    return [rank.asc() if asc else rank.desc(),
+            num.asc() if asc else num.desc(),
+            c.asc() if asc else c.desc()]
+
+
 def _order_slice(sol: DataFrame, q: ParsedQuery) -> DataFrame:
     """ORDER BY / OFFSET / LIMIT in SPARQL's order of operations."""
     if q.order_by:
@@ -1445,8 +1521,8 @@ def _order_slice(sol: DataFrame, q: ParsedQuery) -> DataFrame:
                 f"ORDER BY references unavailable variable(s) {missing} "
                 "(under DISTINCT, only projected variables are sortable)")
         sol = sol.orderBy(*[
-            F.col(v).asc() if asc else F.col(v).desc()
-            for v, asc in q.order_by])
+            k for v, asc in q.order_by
+            for k in _order_key_columns(v, asc)])
     if q.offset:
         sol = sol.offset(q.offset)
     if q.limit is not None:
@@ -1617,6 +1693,8 @@ def _expr_sql(p: _Proj) -> str:
         e = f"regexp_extract({p.var}, '{_LANG_RE}', 1)"
     elif p.func == "DATATYPE":
         e = _datatype_sql(p.var)
+    elif p.func == "VAR":
+        e = p.var
     else:
         e = _str_sql(p.var)
     return f"{e} AS {p.alias}"
@@ -1659,8 +1737,22 @@ def _select_body_sql(q: ParsedQuery, base_name: str,
         kw = "SELECT DISTINCT" if q.distinct else "SELECT"
         sql = f"{kw} {', '.join(cols)} FROM (\n{sol_body}\n) q"
     if q.order_by:
+        def okeys(v, asc):
+            # CAST for the string probes: aggregate aliases are native
+            # BIGINT/DOUBLE columns (the final {v} key keeps their
+            # numeric ordering on both engines)
+            sv = f"CAST({v} AS VARCHAR)"
+            rank = (f"CASE WHEN {v} IS NULL THEN NULL "
+                    f"WHEN {sv} LIKE '_:%' THEN 1 "
+                    f"WHEN {sv} LIKE '<%' THEN 2 ELSE 3 END")
+            num = (f"TRY_CAST(regexp_extract({sv}, '{_LEX_RE}', 1) "
+                   f"AS DOUBLE)")
+            cond = f"regexp_extract({sv}, '{_NUM_DT_RE}', 0) <> ''"
+            nk = f"CASE WHEN {cond} THEN {num} END"
+            d = ("ASC NULLS FIRST" if asc else "DESC NULLS LAST")
+            return f"{rank} {d}, {nk} {d}, {v} {d}"
         sql += "\nORDER BY " + ", ".join(
-            f"{v} {'ASC' if asc else 'DESC'}" for v, asc in q.order_by)
+            okeys(v, asc) for v, asc in q.order_by)
     if q.limit is not None:
         sql += f"\nLIMIT {q.limit}"
     if q.offset:

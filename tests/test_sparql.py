@@ -93,7 +93,6 @@ class TestParser:
         assert q.order_by == [("n", False), ("age", True)]
 
     @pytest.mark.parametrize("bad, msg", [
-        ("SELECT REDUCED ?s WHERE { ?s ?p ?o }", "unexpected bare word"),
         ("ASK WHERE { ?s ?p ?o } OFFSET 2", "solution modifiers"),
         ("ASK WHERE { ?s ?p ?o } LIMIT 1", "solution modifiers"),
         ("DESCRIBE WHERE { ?s ?p ?o }", "needs .vars or IRIs"),
@@ -107,7 +106,7 @@ class TestParser:
          "at least one"),
         ("SELECT ?s WHERE { ?s ?p 1.5 }", "only integer"),
         ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s ~ 3) }", "unexpected"),
-        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s = ?o) }",
+        ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s < ?o) }",
          "variable-to-variable"),
         ("CONSTRUCT { } WHERE { ?s ?p ?o }", "empty CONSTRUCT"),
     ])

@@ -35,9 +35,13 @@ CLAIMED_DIRS = [
     ("sparql10/expr-equals", 3),
     ("sparql10/graph", 9),
     ("sparql10/optional", 1),
-    ("sparql10/sort", 1),
+    ("sparql10/sort", 11),
+    ("sparql10/reduced", 2),
+    ("sparql10/solution-seq", 13),
     ("sparql10/triple-match", 4),
     ("sparql11/bindings", 1),
+    ("sparql11/exists", 2),
+    ("sparql11/negation", 3),
     ("sparql11/grouping", 3),
     ("sparql11/json-res", 4),
     ("sparql11/project-expression", 3),
