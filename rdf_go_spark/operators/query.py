@@ -202,12 +202,19 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
         other = F.col(value)
         return col == other if op == "var=" else col != other
     if op in ("lang=", "lang!="):
+        # LANG of a non-literal is a type error → the row drops either
+        # way (SPARQL §17.3); guard on the literal form
         got = F.regexp_extract(col, _LANG_RE, 1)
-        return got == value if op == "lang=" else got != value
+        cond = got == value if op == "lang=" else got != value
+        return col.startswith('"') & cond
     if op in ("dt=", "dt!="):
-        want = value[1:-1] if value.startswith("<") else value
-        got = F.regexp_extract(col, _DT_RE, 1)
-        return got == want if op == "dt=" else got != want
+        # RDF 1.1 DATATYPE: explicit ^^ type, rdf:langString for
+        # tagged, xsd:string for plain; type error on non-literals
+        from .sparql import _datatype_column
+        want = value if value.startswith("<") else f"<{value}>"
+        got = _datatype_column(col)
+        cond = got == want if op == "dt=" else got != want
+        return col.startswith('"') & cond
     if op in ("strstarts", "!strstarts", "strends", "!strends",
               "contains", "!contains"):
         s = _str_column(col)
@@ -421,7 +428,8 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
                     f"BIND references unbound variable ?{arg}")
             from .sparql import _datatype_column
             src = F.col(arg)
-            col = {"LANG": F.regexp_extract(src, _LANG_RE, 1),
+            col = {"LANG": F.when(src.startswith('"'),
+                                  F.regexp_extract(src, _LANG_RE, 1)),
                    "DATATYPE": _datatype_column(src),
                    "STR": _str_column(src)}[fn]
         result = result.withColumn(alias, col)
@@ -536,11 +544,14 @@ def _filter_sql(var: str, op: str, value) -> str:
         return f"{name} {'=' if op == 'var=' else '<>'} {value}"
     if op in ("lang=", "lang!="):
         got = f"regexp_extract({name}, '{_LANG_RE}', 1)"
-        return f"{got} {'=' if op == 'lang=' else '<>'} {_sql_str(value)}"
+        cmp_ = f"{got} {'=' if op == 'lang=' else '<>'} {_sql_str(value)}"
+        return f"({name} LIKE '\"%' AND {cmp_})"
     if op in ("dt=", "dt!="):
-        want = value[1:-1] if value.startswith("<") else value
-        got = f"regexp_extract({name}, '{_DT_RE}', 1)"
-        return f"{got} {'=' if op == 'dt=' else '<>'} {_sql_str(want)}"
+        from .sparql import _datatype_sql
+        want = value if value.startswith("<") else f"<{value}>"
+        cmp_ = (f"{_datatype_sql(name)} "
+                f"{'=' if op == 'dt=' else '<>'} {_sql_str(want)}")
+        return f"({name} LIKE '\"%' AND {cmp_})"
     if op in ("strstarts", "!strstarts", "strends", "!strends",
               "contains", "!contains"):
         s = _str_sql(name)
@@ -660,7 +671,9 @@ def _bgp_sql_body(patterns, base_name, optionals=(), filters=(),
                 extra.append(f"{_sql_str(arg)} AS {alias}")
             elif fn == "LANG":
                 extra.append(
-                    f"regexp_extract({arg}, '{_LANG_RE}', 1) AS {alias}")
+                    f"CASE WHEN {arg} LIKE '\"%' THEN "
+                    f"regexp_extract({arg}, '{_LANG_RE}', 1) END "
+                    f"AS {alias}")
             elif fn == "DATATYPE":
                 from .sparql import _datatype_sql
                 extra.append(f"{_datatype_sql(arg)} AS {alias}")

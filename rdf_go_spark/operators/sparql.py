@@ -88,8 +88,8 @@ RDF_TYPE = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>"
 XSD_INTEGER = "http://www.w3.org/2001/XMLSchema#integer"
 
 _KEYWORDS = {
-    "PREFIX", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE", "DISTINCT",
-    "REDUCED",
+    "PREFIX", "BASE", "SELECT", "CONSTRUCT", "ASK", "DESCRIBE",
+    "DISTINCT", "REDUCED", "TRUE", "FALSE",
     "WHERE", "OPTIONAL", "FILTER", "MINUS", "UNION", "GRAPH", "VALUES",
     "BIND", "INSERT", "DELETE", "DATA",
     "GROUP", "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET",
@@ -167,21 +167,39 @@ def _tokenize(q: str) -> List[_Tok]:
                 raise SparqlError(f"empty variable name at offset {i}")
             toks.append(_Tok("var", q[i + 1:j]))
             i = j
-        elif c == '"':
-            j = i + 1
-            buf = ['"']
-            while j < n and q[j] != '"':
+        elif c in "\"'":
+            # all four SPARQL string forms ("…", '…', \"\"\"…\"\"\", \'\'\'…\'\'\');
+            # the body is UNESCAPED and re-quoted canonically so a query
+            # literal matches the pipeline's c14n term strings however
+            # the user spelled it
+            if q[i:i + 3] in ('\'\'\'', '"""'):
+                quote, long_ = q[i] * 3, True
+                j = i + 3
+            else:
+                quote, long_ = c, False
+                j = i + 1
+            buf = []
+            while j < n:
                 if q[j] == "\\" and j + 1 < n:
                     buf.append(q[j:j + 2])
                     j += 2
-                else:
-                    buf.append(q[j])
-                    j += 1
-            if j >= n:
+                    continue
+                if long_:
+                    if q[j:j + 3] == quote:
+                        break
+                elif q[j] == quote or q[j] in "\n\r":
+                    break
+                buf.append(q[j])
+                j += 1
+            if j >= n or (not long_ and q[j] != quote):
                 raise SparqlError(f"unterminated string at offset {i}")
-            buf.append('"')
-            i = j + 1
-            lex = "".join(buf)
+            from ..terms import c14n_quote, unescape_string
+            try:
+                body = unescape_string("".join(buf))
+            except Exception as e:
+                raise SparqlError(f"bad string escape at offset {i}: {e}")
+            lex = c14n_quote(body)
+            i = j + (3 if long_ else 1)
             if q[i:i + 2] == "^^":
                 i += 2
                 toks.append(_Tok("literal", lex))
@@ -191,7 +209,9 @@ def _tokenize(q: str) -> List[_Tok]:
                 j = i + 1
                 while j < n and (q[j].isalnum() or q[j] == "-"):
                     j += 1
-                lex += q[i:j]
+                # canonical lang tags are lowercase (value space is
+                # case-insensitive — render_term does the same)
+                lex += q[i:j].lower()
                 i = j
             toks.append(_Tok("literal", lex))
         elif c in _ASCII_DIGITS or (c == "-" and i + 1 < n
@@ -299,6 +319,7 @@ class _Parser:
     def __init__(self, toks: List[_Tok], text: str):
         self.toks, self.i, self.text = toks, 0, text
         self.prefixes: dict[str, str] = {}
+        self.base: str = ""
         self._anon = 0
 
     # ---- token helpers
@@ -342,9 +363,16 @@ class _Parser:
         if t.kind == "var":
             return "?" + t.val
         if t.kind == "iri":
+            val = t.val[1:-1]
+            if self.base and ":" not in val.split("/")[0].split("#")[0]:
+                from ..terms import resolve_iri
+                return f"<{resolve_iri(self.base, val)}>"
             return t.val
         if t.kind == "pname":
             return self._expand_pname(t.val)
+        if t.kind == "kw" and t.val in ("TRUE", "FALSE"):
+            return (f'"{t.val.lower()}"'
+                    '^^<http://www.w3.org/2001/XMLSchema#boolean>')
         if t.kind == "kw" and t.val == "A":
             if position != "pred":
                 raise SparqlError("'a' is only valid as a predicate")
@@ -434,9 +462,16 @@ class _Parser:
             self.expect_op(")")
             return f"({inner})"
         if t.kind == "iri":
+            val = t.val[1:-1]
+            if self.base and ":" not in val.split("/")[0].split("#")[0]:
+                from ..terms import resolve_iri
+                return f"<{resolve_iri(self.base, val)}>"
             return t.val
         if t.kind == "pname":
             return self._expand_pname(t.val)
+        if t.kind == "kw" and t.val in ("TRUE", "FALSE"):
+            return (f'"{t.val.lower()}"'
+                    '^^<http://www.w3.org/2001/XMLSchema#boolean>')
         if t.kind == "kw" and t.val == "A":
             return RDF_TYPE
         raise SparqlError(f"unexpected {t.val!r} in property path")
@@ -535,8 +570,10 @@ class _Parser:
                 raise SparqlError(f"use {fn}(...) != instead of !{fn}")
             neq = op.val == "!="
             if fn == "LANG":
+                # language tags are case-insensitive in the RDF value
+                # space and canonicalize lowercase (W3C lang-3)
                 return (var, "lang!=" if neq else "lang=",
-                        self._plain_string("LANG comparison"))
+                        self._plain_string("LANG comparison").lower())
             t = self.take()
             if t.kind == "iri":
                 dt = t.val
@@ -847,7 +884,14 @@ class _Parser:
 
     # ---- top level
     def parse(self) -> ParsedQuery:
-        while self.at_kw("PREFIX"):
+        while self.at_kw("PREFIX") or self.at_kw("BASE"):
+            if self.at_kw("BASE"):
+                self.take()
+                iri = self.take()
+                if iri.kind != "iri":
+                    raise SparqlError("BASE needs an <iri>")
+                self.base = iri.val[1:-1]
+                continue
             self.take()
             p = self.take()
             if p.kind != "pname" or not p.val.endswith(":"):
@@ -855,7 +899,12 @@ class _Parser:
             iri = self.take()
             if iri.kind != "iri":
                 raise SparqlError("PREFIX needs an <iri>")
-            self.prefixes[p.val[:-1]] = iri.val[1:-1]
+            # prefix expansions resolve against BASE too (RFC 3986)
+            val = iri.val[1:-1]
+            if self.base and ":" not in val.split("/")[0].split("#")[0]:
+                from ..terms import resolve_iri
+                val = resolve_iri(self.base, val)
+            self.prefixes[p.val[:-1]] = val
         q = self._query()
         if self.peek() is not None:
             raise SparqlError(f"unexpected trailing {self.peek().val!r}")
@@ -1067,7 +1116,14 @@ class _UpdateParser(_Parser):
     materialized store's graph column is provenance-managed)."""
 
     def parse_update(self) -> List[UpdateOp]:
-        while self.at_kw("PREFIX"):
+        while self.at_kw("PREFIX") or self.at_kw("BASE"):
+            if self.at_kw("BASE"):
+                self.take()
+                iri = self.take()
+                if iri.kind != "iri":
+                    raise SparqlError("BASE needs an <iri>")
+                self.base = iri.val[1:-1]
+                continue
             self.take()
             p = self.take()
             if p.kind != "pname" or not p.val.endswith(":"):
@@ -1075,7 +1131,12 @@ class _UpdateParser(_Parser):
             iri = self.take()
             if iri.kind != "iri":
                 raise SparqlError("PREFIX needs an <iri>")
-            self.prefixes[p.val[:-1]] = iri.val[1:-1]
+            # prefix expansions resolve against BASE too (RFC 3986)
+            val = iri.val[1:-1]
+            if self.base and ":" not in val.split("/")[0].split("#")[0]:
+                from ..terms import resolve_iri
+                val = resolve_iri(self.base, val)
+            self.prefixes[p.val[:-1]] = val
         ops = [self._update_op()]
         while self.at_op(";"):
             self.take()
@@ -1286,7 +1347,9 @@ def _expr_column(p: _Proj) -> "F.Column":
     """A SELECT expression (LANG / DATATYPE / STR of a variable)."""
     col = F.col(p.var)
     if p.func == "LANG":
-        c = F.regexp_extract(col, _LANG_RE, 1)
+        # type error (unbound) for non-literals, '' for untagged
+        c = F.when(col.startswith('"'),
+                   F.regexp_extract(col, _LANG_RE, 1))
     elif p.func == "DATATYPE":
         c = _datatype_column(col)
     elif p.func == "VAR":               # (?v AS ?alias) rename
@@ -1690,7 +1753,8 @@ def _datatype_sql(name: str) -> str:
 
 def _expr_sql(p: _Proj) -> str:
     if p.func == "LANG":
-        e = f"regexp_extract({p.var}, '{_LANG_RE}', 1)"
+        e = (f"CASE WHEN {p.var} LIKE '\"%' THEN "
+             f"regexp_extract({p.var}, '{_LANG_RE}', 1) END")
     elif p.func == "DATATYPE":
         e = _datatype_sql(p.var)
     elif p.func == "VAR":
