@@ -52,6 +52,10 @@ _FILTER_OPS = (
     "contains", "!contains",
     "in",                              # VALUES ?x { ... } lowered to IN
     "var=", "var!=",                   # var-to-var term equality
+    "same=", "same!=",                 # sameTerm vs constant (strict)
+    "isiri", "!isiri", "isliteral", "!isliteral",
+    "isblank", "!isblank",             # term-class tests
+    "langmatches", "!langmatches",     # BCP47 basic filtering
     "||",                              # disjunction of &&-chains (DNF)
 )
 
@@ -201,6 +205,24 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
     if op in ("var=", "var!="):
         other = F.col(value)
         return col == other if op == "var=" else col != other
+    if op in ("same=", "same!="):
+        # sameTerm: strict term identity on the canonical string (no
+        # bare-string leniency)
+        return col == value if op == "same=" else col != value
+    if op in ("isiri", "!isiri", "isliteral", "!isliteral",
+              "isblank", "!isblank"):
+        cond = {"isiri": col.startswith("<"),
+                "isliteral": col.startswith('"'),
+                "isblank": col.startswith("_:")}[op.lstrip("!")]
+        return ~cond if op.startswith("!") else cond
+    if op in ("langmatches", "!langmatches"):
+        tag = F.regexp_extract(col, _LANG_RE, 1)
+        if value == "*":
+            cond = tag != ""
+        else:
+            cond = (tag == value) | tag.startswith(value + "-")
+        cond = col.startswith('"') & cond
+        return ~cond if op.startswith("!") else cond
     if op in ("lang=", "lang!="):
         # LANG of a non-literal is a type error → the row drops either
         # way (SPARQL §17.3); guard on the literal form
@@ -542,6 +564,24 @@ def _filter_sql(var: str, op: str, value) -> str:
         return f"{name} IN ({', '.join(_sql_str(v) for v in value)})"
     if op in ("var=", "var!="):
         return f"{name} {'=' if op == 'var=' else '<>'} {value}"
+    if op in ("same=", "same!="):
+        return (f"{name} {'=' if op == 'same=' else '<>'} "
+                f"{_sql_str(value)}")
+    if op in ("isiri", "!isiri", "isliteral", "!isliteral",
+              "isblank", "!isblank"):
+        like = {"isiri": "<%", "isliteral": '\"%',
+                "isblank": "_:%"}[op.lstrip("!")]
+        cond = f"{name} LIKE '{like}'"
+        return f"NOT ({cond})" if op.startswith("!") else cond
+    if op in ("langmatches", "!langmatches"):
+        tag = f"regexp_extract({name}, '{_LANG_RE}', 1)"
+        if value == "*":
+            inner = f"{tag} <> ''"
+        else:
+            inner = (f"({tag} = {_sql_str(value)} OR {tag} LIKE "
+                     f"{_sql_str(value + '-%')})")
+        cond = f"({name} LIKE '\"%' AND {inner})"
+        return f"NOT {cond}" if op.startswith("!") else cond
     if op in ("lang=", "lang!="):
         got = f"regexp_extract({name}, '{_LANG_RE}', 1)"
         cmp_ = f"{got} {'=' if op == 'lang=' else '<>'} {_sql_str(value)}"

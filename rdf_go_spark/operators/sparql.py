@@ -97,6 +97,7 @@ _KEYWORDS = {
     "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE",
     "SEPARATOR", "BOUND", "LANG", "DATATYPE",
     "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS", "NOT", "STR", "A",
+    "ISURI", "ISIRI", "ISLITERAL", "ISBLANK", "SAMETERM", "LANGMATCHES",
 }
 _EXPR_FUNCS = ("LANG", "DATATYPE", "STR")
 _STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
@@ -582,6 +583,42 @@ class _Parser:
             else:
                 raise SparqlError("DATATYPE comparison needs an IRI")
             return (var, "dt!=" if neq else "dt=", dt)
+        if any(self.at_kw(k) for k in
+               ("ISURI", "ISIRI", "ISLITERAL", "ISBLANK")):
+            fn = self.take().val
+            var = self._func_var_arg(fn)
+            op = {"ISURI": "isiri", "ISIRI": "isiri",
+                  "ISLITERAL": "isliteral", "ISBLANK": "isblank"}[fn]
+            return (var, ("!" + op) if negated else op, None)
+        if self.at_kw("SAMETERM"):
+            self.take()
+            self.expect_op("(")
+            a = self.take()
+            if a.kind != "var":
+                raise SparqlError("sameTerm's first argument must be a "
+                                  "?variable")
+            self.expect_op(",")
+            b = self.take()
+            self.expect_op(")")
+            if b.kind == "var":
+                # term identity == canonical-string equality
+                return ("?" + a.val,
+                        "var!=" if negated else "var=", b.val)
+            return ("?" + a.val, "same!=" if negated else "same=",
+                    self._term(b, "obj"))
+        if self.at_kw("LANGMATCHES"):
+            self.take()
+            self.expect_op("(")
+            if not self.at_kw("LANG"):
+                raise SparqlError(
+                    "langMatches' first argument must be LANG(?v)")
+            self.take()
+            var = self._func_var_arg("LANG")
+            self.expect_op(",")
+            rng = self._plain_string("langMatches range").lower()
+            self.expect_op(")")
+            return (var, "!langmatches" if negated else "langmatches",
+                    rng)
         if any(self.at_kw(k) for k in _STR_FUNCS):
             fn = self.take().val
             self.expect_op("(")
@@ -595,8 +632,8 @@ class _Parser:
             return ("?" + v.val, op, arg)
         if negated:
             raise SparqlError(
-                "'!' is only supported before bound/STRSTARTS/"
-                "STRENDS/CONTAINS")
+                "'!' is only supported before bound/STRSTARTS/STRENDS/"
+                "CONTAINS/isIRI/isLiteral/isBlank/sameTerm/langMatches")
         v = self.take()
         if v.kind != "var":
             raise SparqlError("FILTER comparisons must start with a "
@@ -643,6 +680,15 @@ class _Parser:
             self.take()      # EXISTS
             pats = self._exists_patterns()
             (blk.not_exists if negated else blk.exists).append(pats)
+            return
+        nt = self.peek()
+        if nt is not None and nt.kind == "kw" and nt.val in (
+                "BOUND", "ISURI", "ISIRI", "ISLITERAL", "ISBLANK",
+                "SAMETERM", "LANGMATCHES", "STRSTARTS", "STRENDS",
+                "CONTAINS", "LANG", "DATATYPE"):
+            # FILTER BuiltInCall — the grammar's Constraint does not
+            # require outer parens around a builtin call
+            blk.filters.append(self._condition())
             return
         self.expect_op("(")
         # [NOT] EXISTS is block-level (semi/anti join), not combinable
@@ -1427,7 +1473,11 @@ def _exec_block(triples: DataFrame, blk: _Block) -> DataFrame:
                              or blk.exists or blk.not_exists or blk.binds):
         raise SparqlError(
             "a block without triple patterns supports only subqueries")
-    sol = bgp_match(triples, **blk.kwargs()) if blk.patterns else None
+    # the TEXT front-end is spec-facing: disconnected patterns are
+    # legal SPARQL (often re-joined by a FILTER); the programmatic
+    # bgp_match API keeps its explicit cartesian guard
+    sol = bgp_match(triples, allow_cross=True, **blk.kwargs()) \
+        if blk.patterns else None
     for sub in blk.subselects:
         sdf = _exec_query(triples, sub)
         if sol is None:
