@@ -56,6 +56,7 @@ _FILTER_OPS = (
     "isiri", "!isiri", "isliteral", "!isliteral",
     "isblank", "!isblank",             # term-class tests
     "langmatches", "!langmatches",     # BCP47 basic filtering
+    "str=", "str!=",                   # STR(?x) = "simple string"
     "||",                              # disjunction of &&-chains (DNF)
 )
 
@@ -209,6 +210,11 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
         # sameTerm: strict term identity on the canonical string (no
         # bare-string leniency)
         return col == value if op == "same=" else col != value
+    if op in ("str=", "str!="):
+        got = _str_column(col)
+        # STR of a bnode is a type error (row drops either way)
+        cond = got == value if op == "str=" else got != value
+        return ~col.startswith("_:") & cond
     if op in ("isiri", "!isiri", "isliteral", "!isliteral",
               "isblank", "!isblank"):
         cond = {"isiri": col.startswith("<"),
@@ -218,11 +224,13 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
     if op in ("langmatches", "!langmatches"):
         tag = F.regexp_extract(col, _LANG_RE, 1)
         if value == "*":
-            cond = tag != ""
+            inner = tag != ""
         else:
-            cond = (tag == value) | tag.startswith(value + "-")
-        cond = col.startswith('"') & cond
-        return ~cond if op.startswith("!") else cond
+            inner = (tag == value) | tag.startswith(value + "-")
+        # lang() of a non-literal is a TYPE ERROR: the row drops under
+        # BOTH polarities (negation does not resurrect an error)
+        lit = col.startswith('"')
+        return lit & ~inner if op.startswith("!") else lit & inner
     if op in ("lang=", "lang!="):
         # LANG of a non-literal is a type error → the row drops either
         # way (SPARQL §17.3); guard on the literal form
@@ -567,6 +575,10 @@ def _filter_sql(var: str, op: str, value) -> str:
     if op in ("same=", "same!="):
         return (f"{name} {'=' if op == 'same=' else '<>'} "
                 f"{_sql_str(value)}")
+    if op in ("str=", "str!="):
+        got = _str_sql(name)
+        return (f"(NOT {name} LIKE '_:%' AND {got} "
+                f"{'=' if op == 'str=' else '<>'} {_sql_str(value)})")
     if op in ("isiri", "!isiri", "isliteral", "!isliteral",
               "isblank", "!isblank"):
         like = {"isiri": "<%", "isliteral": '\"%',
@@ -580,8 +592,9 @@ def _filter_sql(var: str, op: str, value) -> str:
         else:
             inner = (f"({tag} = {_sql_str(value)} OR {tag} LIKE "
                      f"{_sql_str(value + '-%')})")
-        cond = f"({name} LIKE '\"%' AND {inner})"
-        return f"NOT {cond}" if op.startswith("!") else cond
+        if op.startswith("!"):
+            return f"({name} LIKE '\"%' AND NOT {inner})"
+        return f"({name} LIKE '\"%' AND {inner})"
     if op in ("lang=", "lang!="):
         got = f"regexp_extract({name}, '{_LANG_RE}', 1)"
         cmp_ = f"{got} {'=' if op == 'lang=' else '<>'} {_sql_str(value)}"

@@ -583,6 +583,14 @@ class _Parser:
             else:
                 raise SparqlError("DATATYPE comparison needs an IRI")
             return (var, "dt!=" if neq else "dt=", dt)
+        if self.at_kw("STR") and not negated:
+            fn = self.take().val
+            var = self._func_var_arg(fn)
+            op = self.take()
+            if op.kind != "op" or op.val not in ("=", "!="):
+                raise SparqlError("STR() comparison supports = and !=")
+            val = self._plain_string("STR comparison")
+            return (var, "str!=" if op.val == "!=" else "str=", val)
         if any(self.at_kw(k) for k in
                ("ISURI", "ISIRI", "ISLITERAL", "ISBLANK")):
             fn = self.take().val
@@ -726,6 +734,9 @@ class _Parser:
     def _block_items(self, blk: _Block) -> None:
         """Consume group items until the closing '}' (not taken)."""
         while not self.at_op("}"):
+            if self.at_op("."):
+                self.take()      # stray '.' after FILTER/BIND is legal
+                continue
             if self.at_kw("OPTIONAL"):
                 self.take()
                 self.expect_op("{")
