@@ -51,7 +51,8 @@ _FILTER_OPS = (
     "strends", "!strends",
     "contains", "!contains",
     "in",                              # VALUES ?x { ... } lowered to IN
-    "var=", "var!=",                   # var-to-var term equality
+    "var=", "var!=",                   # var-to-var VALUE equality
+    "svar=", "svar!=",                 # sameTerm var-to-var (strict)
     "same=", "same!=",                 # sameTerm vs constant (strict)
     "isiri", "!isiri", "isliteral", "!isliteral",
     "isblank", "!isblank",             # term-class tests
@@ -173,6 +174,200 @@ def _str_column(col: "F.Column") -> "F.Column":
             .otherwise(F.regexp_extract(col, _LEX_RE, 1))
 
 
+_NUM_DT_SET = ("integer", "decimal", "double", "float", "long", "int",
+               "short", "byte", "nonNegativeInteger", "nonPositiveInteger",
+               "negativeInteger", "positiveInteger", "unsignedLong",
+               "unsignedInt", "unsignedShort", "unsignedByte")
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+
+
+def _dt_class(col: "F.Column") -> "F.Column":
+    """Value-space class of a canonical term: 'term' (IRI/bnode),
+    'num', 'bool', 'dtime', 'str' (plain/lang-tagged/xsd:string — the
+    canonical form folds xsd:string into plain), 'unknown'."""
+    dt = F.regexp_extract(col, _DT_RE, 1)
+    lex = F.regexp_extract(col, _LEX_RE, 1)
+    # ill-typed literals ("xyz"^^xsd:integer) have UNDEFINED values —
+    # they compare like unknown datatypes (error), W3C open-eq-08
+    num_ok = lex.try_cast("double").isNotNull()
+    bool_ok = lex.isin("true", "false", "1", "0")
+    ts_ok = _ts_value(lex).isNotNull()
+    return (F.when(~col.startswith('"'), F.lit("term"))
+            .when(F.regexp_extract(col, _LANG_RE, 1) != "",
+                  F.lit("lang"))
+            .when(dt == "", F.lit("str"))
+            .when(dt.isin(*[_XSD + n for n in _NUM_DT_SET]) & num_ok,
+                  F.lit("num"))
+            .when((dt == _XSD + "boolean") & bool_ok, F.lit("bool"))
+            .when((dt == _XSD + "dateTime") & ts_ok, F.lit("dtime"))
+            .when(dt == _XSD + "date", F.lit("date"))
+            .otherwise(F.lit("unknown")))
+
+
+def _ts_value(lex: "F.Column") -> "F.Column":
+    """Timestamp value of a dateTime lexical; handles the XML-Schema
+    end-of-day form T24:00:00 (= midnight of the NEXT day)."""
+    t24 = F.to_date(F.substring(lex, 1, 10)).try_cast("timestamp") \
+        + F.expr("INTERVAL 1 DAY")
+    return F.when(lex.contains("T24:00:00"), t24) \
+        .otherwise(lex.try_cast("timestamp"))
+
+
+def _date_eq(lex_a: "F.Column", lex_b: "F.Column") -> "F.Column":
+    """xsd:date equality: different date parts are distinct (>14h
+    apart); equal date parts compare timezones (Z ≡ +00:00 ≡ -00:00),
+    and zoned vs unzoned same-day is INDETERMINATE (error → NULL)."""
+    def tz(lex):
+        raw = F.substring(lex, 11, 10)
+        return F.when(raw.isin("Z", "+00:00", "-00:00"), F.lit("Z")) \
+            .otherwise(raw)
+    da, db = F.substring(lex_a, 1, 10), F.substring(lex_b, 1, 10)
+    return (F.when(da != db, F.lit(False))
+            .when(tz(lex_a) == tz(lex_b), F.lit(True)))
+
+
+def _value_eq_column(a: "F.Column", b: "F.Column") -> "F.Column":
+    """SPARQL '=' over canonical terms, VALUE space, three-valued:
+    TRUE / FALSE / NULL(type error — the row drops under = AND !=,
+    negation does not resurrect an error). Identical terms are always
+    equal; numerics/booleans/dateTimes compare by value; two known
+    values of the same class with different canonical forms differ;
+    anything involving an unknown datatype (beyond term identity) or a
+    cross-class literal comparison is an error (open-world: "a"^^t:x
+    cannot be proven distinct from "b"^^t:x — W3C open-eq)."""
+    ca, cb = _dt_class(a), _dt_class(b)
+    lex_a = F.regexp_extract(a, _LEX_RE, 1)
+    lex_b = F.regexp_extract(b, _LEX_RE, 1)
+    num_a, num_b = lex_a.try_cast("double"), lex_b.try_cast("double")
+    bool_a = lex_a.isin("true", "1")
+    bool_b = lex_b.isin("true", "1")
+    ts_a, ts_b = _ts_value(lex_a), _ts_value(lex_b)
+    return (F.when(a == b, F.lit(True))
+            .when((ca == "term") | (cb == "term"), F.lit(False))
+            # a lang-tagged literal equals only the identical term —
+            # any other literal (tagged differently, typed, plain) is
+            # KNOWN unequal (the tag is part of the value)
+            .when((ca == "lang") | (cb == "lang"), F.lit(False))
+            .when((ca == "num") & (cb == "num"), num_a == num_b)
+            .when((ca == "bool") & (cb == "bool"), bool_a == bool_b)
+            .when((ca == "dtime") & (cb == "dtime"), ts_a == ts_b)
+            .when((ca == "date") & (cb == "date"),
+                  _date_eq(lex_a, lex_b))
+            .when((ca != "unknown") & (cb != "unknown"), F.lit(False)))
+
+
+def _ts_sql(lex: str) -> str:
+    return (f"CASE WHEN {lex} LIKE '%T24:00:00%' THEN "
+            f"TRY_CAST(substr({lex}, 1, 10) AS TIMESTAMP) "
+            f"+ INTERVAL 1 DAY "
+            f"ELSE TRY_CAST({lex} AS TIMESTAMPTZ)::TIMESTAMP END")
+
+
+def _date_eq_sql(a: str, b: str) -> str:
+    def tz(x):
+        return (f"CASE WHEN substr({x}, 11, 10) IN "
+                f"('Z', '+00:00', '-00:00') THEN 'Z' "
+                f"ELSE substr({x}, 11, 10) END")
+    return (f"CASE WHEN substr({a}, 1, 10) <> substr({b}, 1, 10) "
+            f"THEN FALSE WHEN {tz(a)} = {tz(b)} THEN TRUE "
+            f"ELSE NULL END")
+
+
+def _value_eq_sql(a: str, b: str) -> str:
+    dts = ", ".join(f"'{_XSD}{n}'" for n in _NUM_DT_SET)
+
+    def cls(x):
+        lx = f"regexp_extract({x}, '{_LEX_RE}', 1)"
+        return (f"CASE WHEN NOT {x} LIKE '\"%' THEN 'term' "
+                f"WHEN regexp_extract({x}, '{_LANG_RE}', 1) <> '' "
+                f"THEN 'lang' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) = '' THEN 'str' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) IN ({dts}) "
+                f"AND TRY_CAST({lx} AS DOUBLE) IS NOT NULL THEN 'num' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) = "
+                f"'{_XSD}boolean' AND {lx} IN ('true','false','1','0') "
+                f"THEN 'bool' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) = "
+                f"'{_XSD}dateTime' AND {_ts_sql(lx)} IS NOT NULL "
+                f"THEN 'dtime' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) = "
+                f"'{_XSD}date' THEN 'date' ELSE 'unknown' END")
+
+    def lex(x):
+        return f"regexp_extract({x}, '{_LEX_RE}', 1)"
+
+    ca, cb = cls(a), cls(b)
+    return (f"CASE WHEN {a} = {b} THEN TRUE "
+            f"WHEN {ca} = 'term' OR {cb} = 'term' THEN FALSE "
+            f"WHEN {ca} = 'lang' OR {cb} = 'lang' THEN FALSE "
+            f"WHEN {ca} = 'num' AND {cb} = 'num' THEN "
+            f"TRY_CAST({lex(a)} AS DOUBLE) = TRY_CAST({lex(b)} AS DOUBLE) "
+            f"WHEN {ca} = 'bool' AND {cb} = 'bool' THEN "
+            f"({lex(a)} IN ('true','1')) = ({lex(b)} IN ('true','1')) "
+            f"WHEN {ca} = 'dtime' AND {cb} = 'dtime' THEN "
+            f"{_ts_sql(lex(a))} = {_ts_sql(lex(b))} "
+            f"WHEN {ca} = 'date' AND {cb} = 'date' THEN "
+            f"{_date_eq_sql(lex(a), lex(b))} "
+            f"WHEN {ca} <> 'unknown' AND {cb} <> 'unknown' "
+            f"THEN FALSE "
+            f"ELSE NULL END")
+
+
+_CMP_FN = {"<": "__lt__", "<=": "__le__", ">": "__gt__",
+           ">=": "__ge__"}
+
+
+def _value_cmp_column(a: "F.Column", b: "F.Column",
+                      op: str) -> "F.Column":
+    """SPARQL ordering comparison (< <= > >=) in the VALUE space:
+    defined within a class (numeric by value, dateTime by instant,
+    date by ISO date part); everything else is a type error (NULL →
+    the row drops)."""
+    ca, cb = _dt_class(a), _dt_class(b)
+    lex_a = F.regexp_extract(a, _LEX_RE, 1)
+    lex_b = F.regexp_extract(b, _LEX_RE, 1)
+    fn = _CMP_FN[op]
+
+    def cmp(x, y):
+        return getattr(x, fn)(y)
+
+    return (F.when((ca == "num") & (cb == "num"),
+                   cmp(lex_a.try_cast("double"), lex_b.try_cast("double")))
+            .when((ca == "dtime") & (cb == "dtime"),
+                  cmp(_ts_value(lex_a), _ts_value(lex_b)))
+            .when((ca == "date") & (cb == "date"),
+                  cmp(F.substring(lex_a, 1, 10),
+                      F.substring(lex_b, 1, 10))))
+
+
+def _value_cmp_sql(a: str, b: str, op: str) -> str:
+    def lex(x):
+        return f"regexp_extract({x}, '{_LEX_RE}', 1)"
+    dts = ", ".join(f"'{_XSD}{n}'" for n in _NUM_DT_SET)
+
+    def cls(x):
+        lx = lex(x)
+        return (f"CASE WHEN NOT {x} LIKE '\"%' THEN 'term' "
+                f"WHEN regexp_extract({x}, '{_LANG_RE}', 1) <> '' "
+                f"THEN 'lang' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) = '' THEN 'str' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) IN ({dts}) "
+                f"AND TRY_CAST({lx} AS DOUBLE) IS NOT NULL THEN 'num' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) = "
+                f"'{_XSD}dateTime' THEN 'dtime' "
+                f"WHEN regexp_extract({x}, '{_DT_RE}', 1) = "
+                f"'{_XSD}date' THEN 'date' ELSE 'unknown' END")
+    ca, cb = cls(a), cls(b)
+    return (f"CASE WHEN {ca} = 'num' AND {cb} = 'num' THEN "
+            f"TRY_CAST({lex(a)} AS DOUBLE) {op} "
+            f"TRY_CAST({lex(b)} AS DOUBLE) "
+            f"WHEN {ca} = 'dtime' AND {cb} = 'dtime' THEN "
+            f"{_ts_sql(lex(a))} {op} {_ts_sql(lex(b))} "
+            f"WHEN {ca} = 'date' AND {cb} = 'date' THEN "
+            f"substr({lex(a)}, 1, 10) {op} substr({lex(b)}, 1, 10) "
+            f"ELSE NULL END")
+
+
 def _filter_column(var: str, op: str, value) -> "F.Column":
     """One FILTER condition as a Spark Column. int value → numeric
     compare on the integer extracted from the canonical
@@ -204,8 +399,11 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
             raise ValueError("IN/VALUES needs a non-empty list of terms")
         return col.isin(list(value))
     if op in ("var=", "var!="):
+        eq = _value_eq_column(col, F.col(value))
+        return eq if op == "var=" else ~eq
+    if op in ("svar=", "svar!="):
         other = F.col(value)
-        return col == other if op == "var=" else col != other
+        return col == other if op == "svar=" else col != other
     if op in ("same=", "same!="):
         # sameTerm: strict term identity on the canonical string (no
         # bare-string leniency)
@@ -256,10 +454,25 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
         return ~cond if neg else cond
     if isinstance(value, bool) or not isinstance(value, (int, str)):
         raise ValueError(f"FILTER value must be int or str, got {value!r}")
+    if isinstance(value, int) and op in ("=", "!="):
+        # numeric equality is VALUE-space ("01"^^integer = 1,
+        # "1.0"^^double = 1 — W3C expr-equals)
+        eq = _value_eq_column(
+            col, F.lit(f'"{value}"^^<{_XSD}integer>'))
+        return eq if op == "=" else ~eq
+    if isinstance(value, str) and value.startswith('"') \
+            and not _is_plain_literal(value) and op in ("=", "!="):
+        # typed-literal constant: value-space compare
+        eq = _value_eq_column(col, F.lit(value))
+        return eq if op == "=" else ~eq
+    if isinstance(value, str) and value.startswith('"') \
+            and "^^" in value and op in ("<", "<=", ">", ">="):
+        # typed-literal constant ordering: value space, same class only
+        return _value_cmp_column(col, F.lit(value), op)
     if isinstance(value, int):
-        # try_cast: regexp_extract yields '' on non-integer terms, which
-        # must become NULL (SPARQL type error → row drops), not an ANSI
-        # cast failure
+        # ordering: try_cast — regexp_extract yields '' on non-integer
+        # terms, which must become NULL (SPARQL type error → row
+        # drops), not an ANSI cast failure
         col = F.regexp_extract(col, _INT_LIT_RE, 1).try_cast("long")
         value = F.lit(value)
     elif _is_plain_literal(value) and op in ("=", "!="):
@@ -571,7 +784,10 @@ def _filter_sql(var: str, op: str, value) -> str:
     if op == "in":
         return f"{name} IN ({', '.join(_sql_str(v) for v in value)})"
     if op in ("var=", "var!="):
-        return f"{name} {'=' if op == 'var=' else '<>'} {value}"
+        eq = _value_eq_sql(name, value)
+        return f"({eq})" if op == "var=" else f"(NOT ({eq}))"
+    if op in ("svar=", "svar!="):
+        return f"{name} {'=' if op == 'svar=' else '<>'} {value}"
     if op in ("same=", "same!="):
         return (f"{name} {'=' if op == 'same=' else '<>'} "
                 f"{_sql_str(value)}")
@@ -612,6 +828,17 @@ def _filter_sql(var: str, op: str, value) -> str:
               "contains": "contains"}[op.lstrip("!")]
         cond = f"{fn}({s}, {_sql_str(value)})"
         return f"NOT {cond}" if op.startswith("!") else cond
+    if isinstance(value, int) and not isinstance(value, bool) \
+            and op in ("=", "!="):
+        eq = _value_eq_sql(name, _sql_str(f'"{value}"^^<{_XSD}integer>'))
+        return f"({eq})" if op == "=" else f"(NOT ({eq}))"
+    if isinstance(value, str) and value.startswith('"') \
+            and not _is_plain_literal(value) and op in ("=", "!="):
+        eq = _value_eq_sql(name, _sql_str(value))
+        return f"({eq})" if op == "=" else f"(NOT ({eq}))"
+    if isinstance(value, str) and value.startswith('"') \
+            and "^^" in value and op in ("<", "<=", ">", ">="):
+        return f"({_value_cmp_sql(name, _sql_str(value), op)})"
     if isinstance(value, int) and not isinstance(value, bool):
         lhs = (f"TRY_CAST(regexp_extract({name}, '{_INT_LIT_RE}', 1) "
                f"AS BIGINT)")

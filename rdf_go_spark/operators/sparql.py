@@ -609,9 +609,10 @@ class _Parser:
             b = self.take()
             self.expect_op(")")
             if b.kind == "var":
-                # term identity == canonical-string equality
+                # STRICT term identity (not value equality — sameTerm
+                # distinguishes "01"^^integer from "1"^^integer)
                 return ("?" + a.val,
-                        "var!=" if negated else "var=", b.val)
+                        "svar!=" if negated else "svar=", b.val)
             return ("?" + a.val, "same!=" if negated else "same=",
                     self._term(b, "obj"))
         if self.at_kw("LANGMATCHES"):
