@@ -36,6 +36,13 @@ Supported subset (documented, rejected-with-error beyond it)::
       FILTER(DATATYPE(?x) = xsd:integer)    datatype compare (=/!=)
       FILTER([!]STRSTARTS(?x, "s"))         also STRENDS / CONTAINS,
                                             over STR(?x) lexical/IRI text
+      FILTER(STR(?x) = "s")                 STR equality (=/!=)
+      FILTER([!]isIRI|isURI|isLiteral|isBlank(?x))  term-class tests
+      FILTER([!]sameTerm(?x, ?y))           strict term identity
+      FILTER([!]langMatches(LANG(?x), "en")) BCP47 basic filtering
+      FILTER(?x = ?y)  FILTER(?x = 1.0-typed) VALUE-space =/!= and
+                                            ordering (three-valued:
+                                            type errors drop rows)
       VALUES ?x { <a> <b> "lit" }           single-var inline restriction
       BIND(LANG(?x) AS ?l)                  derived column; also
       BIND("tag" AS ?src)                   constant (UNION provenance)
