@@ -104,7 +104,8 @@ _KEYWORDS = {
     "COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE",
     "SEPARATOR", "BOUND", "LANG", "DATATYPE",
     "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS", "NOT", "STR", "A",
-    "ISURI", "ISIRI", "ISLITERAL", "ISBLANK", "SAMETERM", "LANGMATCHES",
+    "ISURI", "ISIRI", "ISLITERAL", "ISBLANK", "SAMETERM",
+    "LANGMATCHES", "UNDEF",
 }
 _EXPR_FUNCS = ("LANG", "DATATYPE", "STR")
 _STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
@@ -286,6 +287,9 @@ class _Block:
     binds: List[Tuple[str, Optional[str], str]] = field(
         default_factory=list)
     graph: Optional[str] = None        # GRAPH term for the whole block
+    # multi-var VALUES tables: (vars, rows) with None = UNDEF wildcard
+    values_tables: List[Tuple[List[str], List[List[Optional[str]]]]] = \
+        field(default_factory=list)
     # nested { SELECT ... } subqueries — joined on shared variables by
     # the sparql layer (NOT part of kwargs(): bgp_match is unaware)
     subselects: List["ParsedQuery"] = field(default_factory=list)
@@ -321,6 +325,10 @@ class ParsedQuery:
     # HAVING constraints: (_Proj agg | alias str, cmp op, int)
     having: List[Tuple[object, str, int]] = field(default_factory=list)
     offset: Optional[int] = None
+    # post-query VALUES clause (joined with the WHERE solutions,
+    # spec section 19.8): (vars, rows) with None = UNDEF
+    values_clause: Optional[Tuple[List[str],
+                                  List[List[Optional[str]]]]] = None
 
 
 class _Parser:
@@ -739,6 +747,52 @@ class _Parser:
         else:
             blk.filters.append(("||", "||", or_groups))
 
+    def _values_table(self):
+        """VALUES ( ?a ?b ) { ( t UNDEF ) ... } | VALUES ?a { t ... } —
+        returns (vars, rows) with None for UNDEF."""
+        tvars: List[str] = []
+        if self.at_op("("):
+            self.take()
+            while not self.at_op(")"):
+                v = self.take()
+                if v.kind != "var":
+                    raise SparqlError("VALUES needs ?variables")
+                tvars.append(v.val)
+            self.take()
+        else:
+            v = self.take()
+            if v.kind != "var":
+                raise SparqlError("VALUES needs a ?variable")
+            tvars.append(v.val)
+        if not tvars:
+            raise SparqlError("empty VALUES variable list")
+        self.expect_op("{")
+        rows: List[List[Optional[str]]] = []
+        single = len(tvars) == 1 and not self.at_op("(")
+        while not self.at_op("}"):
+            row: List[Optional[str]] = []
+            if single:
+                t = self.take()
+                row.append(None if t.kind == "kw" and t.val == "UNDEF"
+                           else self._term(t, "obj"))
+            else:
+                self.expect_op("(")
+                while not self.at_op(")"):
+                    t = self.take()
+                    row.append(None if t.kind == "kw"
+                               and t.val == "UNDEF"
+                               else self._term(t, "obj"))
+                self.take()
+                if len(row) != len(tvars):
+                    raise SparqlError(
+                        f"VALUES row has {len(row)} terms for "
+                        f"{len(tvars)} variables")
+            rows.append(row)
+        self.take()
+        if not rows:
+            raise SparqlError("empty VALUES block")
+        return tvars, rows
+
     def _block_items(self, blk: _Block) -> None:
         """Consume group items until the closing '}' (not taken)."""
         while not self.at_op("}"):
@@ -794,24 +848,15 @@ class _Parser:
                 blk.binds.append((v.val, fn, arg))
             elif self.at_kw("VALUES"):
                 self.take()
-                if self.at_op("("):
-                    raise SparqlError(
-                        "multi-variable VALUES is not supported "
-                        "(single ?var only)")
-                v = self.take()
-                if v.kind != "var":
-                    raise SparqlError("VALUES needs a ?variable")
-                self.expect_op("{")
-                terms: List[str] = []
-                while not self.at_op("}"):
-                    terms.append(self._term(self.take(), "obj"))
-                self.take()
-                if not terms:
-                    raise SparqlError("empty VALUES block")
-                # lowered to an IN restriction on the bound variable
-                # (SPARQL's join-with-bindings, restricted to the case
-                # where the patterns bind the var)
-                blk.filters.append(("?" + v.val, "in", tuple(terms)))
+                tvars, rows = self._values_table()
+                if len(tvars) == 1 and all(r[0] is not None
+                                           for r in rows):
+                    # single var, no UNDEF: lowered to an IN restriction
+                    blk.filters.append(
+                        ("?" + tvars[0], "in",
+                         tuple(r[0] for r in rows)))
+                else:
+                    blk.values_tables.append((tvars, rows))
             elif self.at_kw("GRAPH"):
                 self.take()
                 t = self.take()
@@ -1038,6 +1083,7 @@ class _Parser:
         having: List[Tuple[object, str, int]] = []
         limit: Optional[int] = None
         offset: Optional[int] = None
+        values_clause = None
         while self.peek() is not None and not self.at_op("}"):
             if self.at_kw("HAVING"):
                 self.take()
@@ -1100,6 +1146,9 @@ class _Parser:
                 if v.kind != "int" or v.val < 0:
                     raise SparqlError("OFFSET needs a non-negative integer")
                 offset = v.val
+            elif self.at_kw("VALUES"):
+                self.take()
+                values_clause = self._values_table()
             else:
                 raise SparqlError(
                     f"unexpected trailing {self.peek().val!r}")
@@ -1107,7 +1156,8 @@ class _Parser:
         q = ParsedQuery(form=form, distinct=distinct, projection=projection,
                         blocks=blocks, group_by=group_by, order_by=order_by,
                         limit=limit, template=template, describe=describe,
-                        having=having, offset=offset)
+                        having=having, offset=offset,
+                        values_clause=values_clause)
         _validate(q)
         return q
 
@@ -1483,6 +1533,36 @@ def sparql_select(triples: DataFrame, query: str) -> DataFrame:
     return _exec_query(triples, parse_sparql(query))
 
 
+def _join_values_table(sol: DataFrame, tvars, rows) -> DataFrame:
+    """Join a VALUES solution table with ``sol`` under SPARQL
+    compatibility: UNDEF (None) and unbound are wildcards; merged
+    bindings prefer the bound side; table-only variables extend the
+    solutions."""
+    from pyspark.sql.types import StringType, StructField, StructType
+    spark = sol.sparkSession
+    schema = StructType([StructField(f"__vt_{v}", StringType(), True)
+                         for v in tvars])
+    vt = spark.createDataFrame([tuple(r) for r in rows], schema)
+    shared = [v for v in tvars if v in sol.columns]
+    cond = F.lit(True)
+    for v in shared:
+        tv = F.col(f"__vt_{v}")
+        cond = cond & (tv.isNull() | F.col(v).isNull()
+                       | (tv == F.col(v)))
+    joined = sol.join(F.broadcast(vt), cond)
+    cols = []
+    for c in sol.columns:
+        if c in shared:
+            cols.append(F.coalesce(F.col(c), F.col(f"__vt_{c}"))
+                        .alias(c))
+        else:
+            cols.append(F.col(c))
+    for v in tvars:
+        if v not in sol.columns:
+            cols.append(F.col(f"__vt_{v}").alias(v))
+    return joined.select(*cols)
+
+
 def _exec_block(triples: DataFrame, blk: _Block) -> DataFrame:
     """One block's solutions: patterns via bgp_match, then every
     { SELECT } subquery joined on its shared variables (the SPARQL
@@ -1509,6 +1589,8 @@ def _exec_block(triples: DataFrame, blk: _Block) -> DataFrame:
         sol = sol.join(sdf, on=shared)
     if sol is None:
         raise SparqlError("empty WHERE block")
+    for tvars, rows in blk.values_tables:
+        sol = _join_values_table(sol, tvars, rows)
     return sol
 
 
@@ -1520,6 +1602,9 @@ def _exec_query(triples: DataFrame, q: ParsedQuery) -> DataFrame:
         sol = align_union([_exec_block(triples, b) for b in q.blocks])
     else:
         sol = None    # DESCRIBE <iri> without WHERE
+
+    if sol is not None and q.values_clause is not None:
+        sol = _join_values_table(sol, *q.values_clause)
 
     if q.form == "ask":
         # limit(1) first: existence needs one solution, not the count
@@ -1694,6 +1779,27 @@ def _agg_sql(p: _Proj) -> str:
     return f"{_agg_sql_expr(p)} AS {p.alias}"
 
 
+def _values_join_sql(body: str, bound: list, tvars, rows):
+    """Twin of _join_values_table: join the VALUES table with the
+    solution body under SPARQL compatibility (NULL = wildcard)."""
+    vt_rows = ", ".join(
+        "(" + ", ".join("NULL" if t is None else _sql_str(t)
+                        for t in row) + ")" for row in rows)
+    vt = f"(VALUES {vt_rows}) vt({', '.join(tvars)})"
+    shared = [v for v in tvars if v in bound]
+    conds = " AND ".join(
+        f"(vt.{v} IS NULL OR q.{v} IS NULL OR vt.{v} = q.{v})"
+        for v in shared) or "TRUE"
+    sel = []
+    for c in bound:
+        sel.append(f"COALESCE(q.{c}, vt.{c}) AS {c}"
+                   if c in shared else f"q.{c}")
+    new_vars = [v for v in tvars if v not in bound]
+    sel += [f"vt.{v} AS {v}" for v in new_vars]
+    return (f"SELECT {', '.join(sel)} FROM (\n{body}\n) q "
+            f"JOIN {vt} ON {conds}", list(bound) + new_vars)
+
+
 def _block_body_sql(blk: _Block, base_name: str,
                     base_has_graph: bool = False) -> Tuple[str, list]:
     """One block's solution body (no WITH): patterns via _bgp_sql_body,
@@ -1727,17 +1833,23 @@ def _block_body_sql(blk: _Block, base_name: str,
         bound = bound + new
     if body is None:
         raise SparqlError("empty WHERE block")
+    for tvars, rows in blk.values_tables:
+        body, bound = _values_join_sql(body, bound, tvars, rows)
     return body, bound
 
 
 def _solution_body_sql(q: ParsedQuery, base_name: str,
                        base_has_graph: bool = False) -> Tuple[str, list]:
     """WHERE-clause solution body for all of a query's blocks (UNION
-    aligned on the union of variables, NULL-padded)."""
+    aligned on the union of variables, NULL-padded), plus the
+    post-query VALUES clause join (spec section 19.8)."""
     bodies = [_block_body_sql(b, base_name, base_has_graph)
               for b in q.blocks]
     if len(bodies) == 1:
-        return bodies[0]
+        body, vs = bodies[0]
+        if q.values_clause is not None:
+            body, vs = _values_join_sql(body, vs, *q.values_clause)
+        return body, vs
     all_vars: List[str] = []
     for _, vs in bodies:
         for v in vs:
@@ -1749,7 +1861,10 @@ def _solution_body_sql(q: ParsedQuery, base_name: str,
             v if v in vs else f"CAST(NULL AS VARCHAR) AS {v}"
             for v in all_vars)
         parts.append(f"SELECT {cols} FROM (\n{body}\n) u{k}")
-    return "\nUNION ALL\n".join(parts), all_vars
+    out = "\nUNION ALL\n".join(parts)
+    if q.values_clause is not None:
+        return _values_join_sql(out, all_vars, *q.values_clause)
+    return out, all_vars
 
 
 def sparql_sql(query: str, base_cte: str, base_name: str = "base",

@@ -422,7 +422,9 @@ class TestExecution:
 
     @pytest.mark.parametrize("bad, msg", [
         ("SELECT ?s WHERE { VALUES (?s ?o) { } ?s ?p ?o }",
-         "multi-variable"),
+         "empty VALUES"),
+        ("SELECT ?s WHERE { VALUES (?s ?o) { (<a>) } ?s ?p ?o }",
+         "1 terms for 2 variables"),
         ("SELECT ?s WHERE { ?s ?p ?o . VALUES ?s { } }", "empty VALUES"),
         ("SELECT ?s WHERE { ?s ?p ?o . FILTER(LANG(?o) = 3) }",
          "plain string"),

@@ -43,7 +43,7 @@ CLAIMED_DIRS = [
     ("sparql10/reduced", 2),
     ("sparql10/solution-seq", 13),
     ("sparql10/triple-match", 4),
-    ("sparql11/bindings", 1),
+    ("sparql11/bindings", 10),
     ("sparql11/exists", 2),
     ("sparql11/negation", 3),
     ("sparql11/grouping", 3),
