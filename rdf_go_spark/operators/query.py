@@ -58,6 +58,7 @@ _FILTER_OPS = (
     "isblank", "!isblank",             # term-class tests
     "langmatches", "!langmatches",     # BCP47 basic filtering
     "str=", "str!=",                   # STR(?x) = "simple string"
+    "regex", "!regex",                 # REGEX(?x, "pat", "flags")
     "||",                              # disjunction of &&-chains (DNF)
 )
 
@@ -408,6 +409,16 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
         # sameTerm: strict term identity on the canonical string (no
         # bare-string leniency)
         return col == value if op == "same=" else col != value
+    if op in ("regex", "!regex"):
+        pat, coerced = value
+        got = _unescape_column(_str_column(col))
+        inner = got.rlike(pat)
+        if coerced:
+            # REGEX(STR(?x), …): explicit coercion — IRIs allowed
+            guard = ~col.startswith("_:")
+        else:
+            guard = col.startswith('"')
+        return guard & ~inner if op.startswith("!") else guard & inner
     if op in ("str=", "str!="):
         got = _str_column(col)
         # STR of a bnode is a type error (row drops either way)
@@ -769,6 +780,32 @@ def _str_sql(name: str) -> str:
             f"ELSE regexp_extract({name}, '{_LEX_RE}', 1) END")
 
 
+_C14N_UNESCAPES = [("\\n", "\n"), ("\\t", "\t"), ("\\r", "\r"),
+                   ("\\b", "\b"), ("\\f", "\f"), ('\\"', '"')]
+
+
+def _unescape_column(c: "F.Column") -> "F.Column":
+    """Real string VALUE from a c14n-escaped lexical form (the regex
+    path needs actual newlines/tabs, not backslash sequences). '\\\\'
+    is protected first so escaped backslashes survive; rare \\uXXXX
+    escapes are left as-is."""
+    c = F.replace(c, F.lit("\\\\"), F.lit("\x00"))
+    for esc, real in _C14N_UNESCAPES:
+        c = F.replace(c, F.lit(esc), F.lit(real))
+    return F.replace(c, F.lit("\x00"), F.lit("\\"))
+
+
+def _unescape_sql(expr: str) -> str:
+    out = f"replace({expr}, '\\\\', chr(0))"
+    pairs = [("\\n", "chr(10)"), ("\\t", "chr(9)"),
+             ("\\r", "chr(13)"), ("\\b", "chr(8)"),
+             ("\\f", "chr(12)"), ('\\"', "'\"'")]
+    for esc, real in pairs:
+        e = esc.replace("'", "''")
+        out = f"replace({out}, '{e}', {real})"
+    return f"replace({out}, chr(0), '\\')"
+
+
 def _filter_sql(var: str, op: str, value) -> str:
     if op == "||":
         parts = [
@@ -791,6 +828,14 @@ def _filter_sql(var: str, op: str, value) -> str:
     if op in ("same=", "same!="):
         return (f"{name} {'=' if op == 'same=' else '<>'} "
                 f"{_sql_str(value)}")
+    if op in ("regex", "!regex"):
+        pat, coerced = value
+        got = _unescape_sql(_str_sql(name))
+        inner = f"regexp_matches({got}, {_sql_str(pat)})"
+        guard = (f"NOT {name} LIKE '_:%'" if coerced
+                 else f"{name} LIKE '\"%'")
+        neg = "NOT " if op.startswith("!") else ""
+        return f"({guard} AND {neg}{inner})"
     if op in ("str=", "str!="):
         got = _str_sql(name)
         return (f"(NOT {name} LIKE '_:%' AND {got} "

@@ -105,7 +105,7 @@ _KEYWORDS = {
     "SEPARATOR", "BOUND", "LANG", "DATATYPE",
     "STRSTARTS", "STRENDS", "CONTAINS", "EXISTS", "NOT", "STR", "A",
     "ISURI", "ISIRI", "ISLITERAL", "ISBLANK", "SAMETERM",
-    "LANGMATCHES", "UNDEF",
+    "LANGMATCHES", "UNDEF", "REGEX",
 }
 _EXPR_FUNCS = ("LANG", "DATATYPE", "STR")
 _STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
@@ -113,6 +113,45 @@ _STR_FUNCS = {"STRSTARTS": "strstarts", "STRENDS": "strends",
 _AGG_FUNCS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT",
               "SAMPLE")
 _CMP_OPS = ("=", "!=", "<", "<=", ">", ">=")
+
+
+def _strip_x_whitespace(pat: str) -> str:
+    """XPath 'x' flag: remove whitespace characters OUTSIDE character
+    classes (escaped whitespace and class contents are kept)."""
+    out, i, in_class = [], 0, False
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            out.append(pat[i:i + 2])
+            i += 2
+            continue
+        if c == "[":
+            in_class = True
+        elif c == "]":
+            in_class = False
+        if c in " \t\n\r" and not in_class:
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _compile_regex_pattern(pat: str, flags: str) -> str:
+    """XPath/SPARQL regex flags folded into the pattern at PARSE time so
+    the Java (engine) and RE2 (DuckDB twin) dialects agree: 'q' escapes
+    every metacharacter, 'x' strips free whitespace, and i/s/m embed as
+    (?ism) — the subset both dialects share."""
+    for f in flags:
+        if f not in "ismxq":
+            raise SparqlError(f"unsupported REGEX flag {f!r}")
+    if "q" in flags:
+        import re as _re
+        pat = _re.escape(pat)
+    elif "x" in flags:
+        pat = _strip_x_whitespace(pat)
+    embed = "".join(f for f in flags if f in "ism")
+    return f"(?{embed}){pat}" if embed else pat
 
 
 class SparqlError(ValueError):
@@ -547,6 +586,13 @@ class _Parser:
         self.expect_op(")")
         return "?" + v.val
 
+    def _regex_lexical(self, what: str) -> str:
+        """The RAW (unescaped) characters of a plain string argument —
+        regex patterns need the actual codepoints, not the c14n-escaped
+        lexical form."""
+        from ..terms import unescape_string
+        return unescape_string(self._plain_string(what))
+
     def _plain_string(self, what: str) -> str:
         t = self.take()
         if t.kind != "literal" or not (t.val.startswith('"')
@@ -598,6 +644,28 @@ class _Parser:
             else:
                 raise SparqlError("DATATYPE comparison needs an IRI")
             return (var, "dt!=" if neq else "dt=", dt)
+        if self.at_kw("REGEX"):
+            self.take()
+            self.expect_op("(")
+            if self.at_kw("STR"):
+                self.take()
+                var = self._func_var_arg("STR")
+                coerced = True
+            else:
+                v = self.take()
+                if v.kind != "var":
+                    raise SparqlError("REGEX takes (?var, \"pattern\")")
+                var, coerced = "?" + v.val, False
+            self.expect_op(",")
+            pat = self._regex_lexical("REGEX pattern")
+            flags = ""
+            if self.at_op(","):
+                self.take()
+                flags = self._regex_lexical("REGEX flags")
+            self.expect_op(")")
+            pat = _compile_regex_pattern(pat, flags)
+            op = "!regex" if negated else "regex"
+            return (var, op, (pat, coerced))
         if self.at_kw("STR") and not negated:
             fn = self.take().val
             var = self._func_var_arg(fn)
@@ -708,8 +776,8 @@ class _Parser:
         nt = self.peek()
         if nt is not None and nt.kind == "kw" and nt.val in (
                 "BOUND", "ISURI", "ISIRI", "ISLITERAL", "ISBLANK",
-                "SAMETERM", "LANGMATCHES", "STRSTARTS", "STRENDS",
-                "CONTAINS", "LANG", "DATATYPE"):
+                "SAMETERM", "LANGMATCHES", "REGEX", "STRSTARTS",
+                "STRENDS", "CONTAINS", "LANG", "DATATYPE"):
             # FILTER BuiltInCall — the grammar's Constraint does not
             # require outer parens around a builtin call
             blk.filters.append(self._condition())

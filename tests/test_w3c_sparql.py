@@ -41,6 +41,7 @@ CLAIMED_DIRS = [
     ("sparql10/optional", 1),
     ("sparql10/sort", 11),
     ("sparql10/reduced", 2),
+    ("sparql10/regex", 21),
     ("sparql10/solution-seq", 13),
     ("sparql10/triple-match", 4),
     ("sparql11/bindings", 10),
