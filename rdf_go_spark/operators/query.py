@@ -59,6 +59,7 @@ _FILTER_OPS = (
     "langmatches", "!langmatches",     # BCP47 basic filtering
     "str=", "str!=",                   # STR(?x) = "simple string"
     "regex", "!regex",                 # REGEX(?x, "pat", "flags")
+    "ebv", "!ebv", "ebvconst",         # effective boolean value
     "||",                              # disjunction of &&-chains (DNF)
 )
 
@@ -390,7 +391,18 @@ def _filter_column(var: str, op: str, value) -> "F.Column":
                   for v2, o2, val2 in branch]
             branches.append(functools.reduce(_op.and_, cs))
         return functools.reduce(_op.or_, branches)
+    if op == "ebvconst":
+        return F.lit(bool(value))
     col = F.col(var)
+    if op in ("ebv", "!ebv"):
+        # §17.2.2: boolean → value, numeric → != 0, string → non-empty,
+        # anything else → type error (row drops under both polarities)
+        cls_ = _dt_class(col)
+        lex = F.regexp_extract(col, _LEX_RE, 1)
+        ebv = (F.when(cls_ == "bool", lex.isin("true", "1"))
+               .when(cls_ == "num", lex.try_cast("double") != 0)
+               .when(cls_ == "str", lex != ""))
+        return ~ebv if op == "!ebv" else ebv
     if op == "bound":
         return col.isNotNull()
     if op == "!bound":
@@ -692,11 +704,16 @@ def bgp_match(triples: DataFrame, patterns: Sequence[Tuple[str, str, str]],
         if op == "||":
             for branch in value:
                 for v2, _o2, _v2 in branch:
+                    if _o2 == "ebvconst":
+                        continue
                     nm = v2[1:] if _is_var(v2) else v2
                     if nm not in bound:
                         raise ValueError(
                             f"FILTER references unbound variable ?{nm}")
             result = result.filter(_filter_column(var, op, value))
+            continue
+        if op == "ebvconst":
+            result = result.filter(_filter_column("", op, value))
             continue
         name = var[1:] if _is_var(var) else var
         if name not in bound:
@@ -813,7 +830,22 @@ def _filter_sql(var: str, op: str, value) -> str:
                                for v2, o2, val2 in branch) + ")"
             for branch in value]
         return "(" + " OR ".join(parts) + ")"
+    if op == "ebvconst":
+        return "TRUE" if value else "FALSE"
     name = var[1:] if _is_var(var) else var
+    if op in ("ebv", "!ebv"):
+        dts = ", ".join(f"'{_XSD}{n}'" for n in _NUM_DT_SET)
+        lex = f"regexp_extract({name}, '{_LEX_RE}', 1)"
+        dt = f"regexp_extract({name}, '{_DT_RE}', 1)"
+        lang = f"regexp_extract({name}, '{_LANG_RE}', 1)"
+        ebv = (f"CASE WHEN NOT {name} LIKE '\"%' THEN NULL "
+               f"WHEN {dt} = '{_XSD}boolean' THEN "
+               f"{lex} IN ('true', '1') "
+               f"WHEN {dt} IN ({dts}) THEN "
+               f"TRY_CAST({lex} AS DOUBLE) <> 0 "
+               f"WHEN {dt} = '' AND {lang} = '' THEN {lex} <> '' "
+               f"ELSE NULL END")
+        return f"(NOT ({ebv}))" if op == "!ebv" else f"({ebv})"
     if op == "bound":
         return f"{name} IS NOT NULL"
     if op == "!bound":

@@ -722,14 +722,41 @@ class _Parser:
             self.expect_op(")")
             op = ("!" if negated else "") + _STR_FUNCS[fn]
             return ("?" + v.val, op, arg)
-        if negated:
-            raise SparqlError(
-                "'!' is only supported before bound/STRSTARTS/STRENDS/"
-                "CONTAINS/isIRI/isLiteral/isBlank/sameTerm/langMatches")
+        t0 = self.peek()
+        if t0 is not None and t0.kind == "kw" and t0.val in ("TRUE",
+                                                            "FALSE"):
+            self.take()
+            val = (t0.val == "TRUE") != negated
+            return ("", "ebvconst", val)
+        if t0 is not None and t0.kind == "literal":
+            # constant operand in a boolean combo: static EBV
+            term = self._term(self.take(), "obj")
+            lex = term[1:term.index('"', 1)]
+            if term.endswith("boolean>"):
+                val = lex in ("true", "1")
+            elif "^^" not in term and "@" not in term[term.rindex('"'):]:
+                val = lex != ""
+            else:
+                try:
+                    val = float(lex) != 0
+                except ValueError:
+                    raise SparqlError(
+                        f"constant {term!r} has no effective boolean "
+                        "value")
+            return ("", "ebvconst", val != negated)
         v = self.take()
         if v.kind != "var":
             raise SparqlError("FILTER comparisons must start with a "
                               "variable")
+        nxt = self.peek()
+        if nxt is None or nxt.kind != "op" or nxt.val not in _CMP_OPS:
+            # bare ?v (or !?v): effective boolean value (section 17.2.2)
+            return ("?" + v.val, "!ebv" if negated else "ebv", None)
+        if negated:
+            raise SparqlError(
+                "'!' is only supported before bound/STRSTARTS/STRENDS/"
+                "CONTAINS/isIRI/isLiteral/isBlank/sameTerm/langMatches/"
+                "REGEX or a bare variable")
         op = self.take()
         if op.kind != "op" or op.val not in _CMP_OPS:
             raise SparqlError(f"unsupported FILTER operator {op.val!r}")

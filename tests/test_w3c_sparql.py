@@ -36,6 +36,7 @@ CLAIMED_DIRS = [
     ("sparql10/expr-equals", 13),
     ("sparql10/open-world", 15),
     ("sparql10/bound", 1),
+    ("sparql10/boolean-effective-value", 7),
     ("sparql10/optional-filter", 1),
     ("sparql10/graph", 9),
     ("sparql10/optional", 1),
