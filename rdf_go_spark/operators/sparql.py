@@ -177,6 +177,22 @@ def _is_pname_char(c: str) -> bool:
     return c in _WORD_CHARS or c in "-.:"
 
 
+def _sign_is_numeric(toks: List["_Tok"], c: str,
+                     prev_char: str) -> bool:
+    if c == "-":
+        return True
+    if prev_char.isspace():
+        return True           # ':p +1' — detached sign is a number
+    if not toks:
+        return True
+    t = toks[-1]
+    if t.kind in ("iri", "pname", "var"):
+        return False          # adjacent path postfix: <p>+ / :p+
+    if t.kind == "op" and t.val == ")":
+        return False          # (path)+ group postfix
+    return True
+
+
 def _tokenize(q: str) -> List[_Tok]:
     toks: List[_Tok] = []
     i, n = 0, len(q)
@@ -262,15 +278,46 @@ def _tokenize(q: str) -> List[_Tok]:
                 lex += q[i:j].lower()
                 i = j
             toks.append(_Tok("literal", lex))
-        elif c in _ASCII_DIGITS or (c == "-" and i + 1 < n
-                                    and q[i + 1] in _ASCII_DIGITS):
+        elif c in _ASCII_DIGITS or (c in "+-" and i + 1 < n
+                                    and q[i + 1] in _ASCII_DIGITS + "."
+                                    and _sign_is_numeric(
+                                        toks, c,
+                                        q[i - 1] if i else " ")):
             j = i + 1
             while j < n and q[j] in _ASCII_DIGITS:
                 j += 1
             if j < n and q[j] in ".eE":
-                raise SparqlError(
-                    "only integer numeric literals are supported "
-                    f"(offset {i})")
+                # decimal/double lexical: preserved as written and
+                # typed per the Turtle rules (a TERM constant only —
+                # LIMIT/OFFSET and integer FILTER math stay int-typed)
+                k = j
+                is_double = False
+                if q[k] == ".":
+                    k += 1
+                    while k < n and q[k] in _ASCII_DIGITS:
+                        k += 1
+                if k < n and q[k] in "eE":
+                    is_double = True
+                    k += 1
+                    if k < n and q[k] in "+-":
+                        k += 1
+                    while k < n and q[k] in _ASCII_DIGITS:
+                        k += 1
+                raw = q[i:k]
+                dt = "double" if is_double else "decimal"
+                toks.append(_Tok(
+                    "literal",
+                    f'"{raw}"^^<http://www.w3.org/2001/XMLSchema#{dt}>'))
+                i = k
+                continue
+            if c == "+":
+                # sign preserved in the lexical form per Turtle
+                toks.append(_Tok(
+                    "literal",
+                    f'"{q[i:j]}"^^'
+                    '<http://www.w3.org/2001/XMLSchema#integer>'))
+                i = j
+                continue
             toks.append(_Tok("int", int(q[i:j])))
             i = j
         elif c == "!" and q[i:i + 2] == "!=":
@@ -549,10 +596,44 @@ class _Parser:
         self._anon += 1
         return f"?_anon{self._anon}"
 
+    def _collection(self, out) -> str:
+        """RDF collection '( e1 e2 … )' in a query pattern: expands to
+        the rdf:first/rdf:rest chain over fresh non-distinguished
+        variables (the standard Turtle lowering, matched as patterns);
+        '()' is the constant rdf:nil."""
+        first = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#first>"
+        rest = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#rest>"
+        nil = "<http://www.w3.org/1999/02/22-rdf-syntax-ns#nil>"
+        items = []
+        while not self.at_op(")"):
+            if self.at_op("("):
+                self.take()
+                items.append(self._collection(out))
+            elif self.at_op("["):
+                self.take()
+                items.append(self._anon_var())
+            else:
+                items.append(self._term(self.take(), "obj"))
+        self.take()
+        if not items:
+            return nil
+        nodes = []
+        for _ in items:
+            self._anon += 1
+            nodes.append(f"?_anon{self._anon}")
+        for i, (node, item) in enumerate(zip(nodes, items)):
+            out.append((node, first, item))
+            out.append((node, rest,
+                        nodes[i + 1] if i + 1 < len(items) else nil))
+        return nodes[0]
+
     def _triples_into(self, out: List[Tuple[str, str, str]]) -> None:
         if self.at_op("["):
             self.take()
             subj = self._anon_var()
+        elif self.at_op("("):
+            self.take()
+            subj = self._collection(out)
         else:
             subj = self._term(self.take(), "subj")
         while True:
@@ -561,6 +642,9 @@ class _Parser:
                 if self.at_op("["):
                     self.take()
                     obj = self._anon_var()
+                elif self.at_op("("):
+                    self.take()
+                    obj = self._collection(out)
                 else:
                     obj = self._term(self.take(), "obj")
                 out.append((subj, pred, obj))

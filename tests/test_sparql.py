@@ -104,7 +104,7 @@ class TestParser:
          "neither aggregated nor"),
         ("SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o } GROUP BY",
          "at least one"),
-        ("SELECT ?s WHERE { ?s ?p 1.5 }", "only integer"),
+        ("SELECT ?s WHERE { ?s ?p ?o } LIMIT 1.5", "non-negative integer"),
         ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s ~ 3) }", "unexpected"),
         ("SELECT ?s WHERE { ?s ?p ?o . FILTER(?s < ?o) }",
          "variable-to-variable"),

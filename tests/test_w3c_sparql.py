@@ -28,7 +28,7 @@ pytestmark = pytest.mark.skipif(
 CLAIMED_DIRS = [
     ("sparql10/algebra", 4),
     ("sparql10/ask", 4),
-    ("sparql10/basic", 20),
+    ("sparql10/basic", 27),
     ("sparql10/bnode-coreference", 1),
     ("sparql10/construct", 3),
     ("sparql10/distinct", 11),
