@@ -164,9 +164,11 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     # truncate the upstream lineage ONCE (the input may be a heavy
     # extraction pipeline — without this, every round's cached plan
     # embeds it and driver-side planning swamps the saved exchange),
-    # then cache rounds with persist() so partitioning survives
+    # then cache rounds with persist() so partitioning survives.
+    # eager=False (r6): the checkpoint materializes INSIDE the first
+    # paths job instead of as its own full pass over the edges.
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-         .localCheckpoint())
+         .localCheckpoint(eager=False))
     if with_distance:
         e = e.withColumn("dist", F.lit(1))
     paths = (e.repartition(nparts, "src")

@@ -67,8 +67,17 @@ def tokens_col():
     return F.array_remove(F.split(F.lower(F.col("text")), _TOKEN_RE), "")
 
 
-def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs of word n-grams."""
+def shingles(docs: DataFrame, n: int = 3, by_doc: bool = False) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs of word n-grams.
+
+    ``by_doc=True`` routes the exploded rows through ONE doc_id-keyed
+    exchange before the distinct (r6): hashpartitioning(doc_id)
+    satisfies the clustering of the (doc_id, shingle) distinct, the
+    per-doc size aggregate, AND the k-wide signature aggregate, so the
+    whole minhash pipeline runs off a single shuffle — the former plan
+    re-exchanged the shingle table per consumer, and the signature
+    partial-agg's map-side output grew with k (every doc's k-long
+    buffer repeated per input partition: ~1.6 GB at k=128/sf1)."""
     df = docs.withColumn("toks", tokens_col())
     gram = F.expr(
         f"transform(sequence(0, size(toks) - {n}), "
@@ -77,7 +86,12 @@ def shingles(docs: DataFrame, n: int = 3) -> DataFrame:
         "shingle",
         F.explode(F.when(F.size("toks") >= n, gram)
                   .otherwise(F.array().cast("array<string>"))))
-    return df.select("doc_id", "shingle").distinct()
+    out = df.select("doc_id", "shingle")
+    if by_doc:
+        nparts = int(docs.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "32"))
+        out = out.repartition(nparts, "doc_id")
+    return out.distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.8,
@@ -220,7 +234,9 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
     candidate join; verify join — each keyed, AQE-coalesced.
     """
     rows = k // bands
-    sh = shingles(docs).cache()  # reused by signatures AND verify
+    # reused by signatures AND verify; doc-keyed so every downstream
+    # aggregate/join clusters without further exchanges (see shingles)
+    sh = shingles(docs, by_doc=True).cache()
     wide = minhash_wide_signatures(sh, k=k, hash_family=hash_family)
     band_cols = [
         F.md5(F.concat_ws(",", *[
@@ -242,12 +258,20 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float = 0.8,
             .distinct())
     # exact-Jaccard verification restricted to CANDIDATES only — the whole
     # point of LSH: the O(n²) shingle self-join never materializes.
-    # Candidate set is tiny → broadcast both restriction joins.
+    # Candidate set is tiny → broadcast both restriction joins. The
+    # b-side is ALSO pre-restricted to candidate doc_bs (r6): without
+    # it the planner sort-merge-joined the full shingle table against
+    # the already-restricted a-side — two |shingles|-row exchanges to
+    # look up a handful of documents. cand is persisted so its pipeline
+    # (signatures → bands → self-join) runs once, not once per use.
+    cand = cand.persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     sh_a = sh.select(F.col("doc_id").alias("doc_a"),
                      F.col("shingle").alias("sh_a"))
-    sh_b = sh.select(F.col("doc_id").alias("_db"),
-                     F.col("shingle").alias("sh_b"))
+    b_keys = cand.select(F.col("doc_b").alias("_db")).distinct()
+    sh_b = (sh.select(F.col("doc_id").alias("_db"),
+                      F.col("shingle").alias("sh_b"))
+            .join(F.broadcast(b_keys), "_db"))
     inter = (sh_a.join(F.broadcast(cand), "doc_a")
              .join(sh_b, (F.col("doc_b") == F.col("_db")) &
                    (F.col("sh_a") == F.col("sh_b")))
