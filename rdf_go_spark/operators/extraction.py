@@ -105,16 +105,12 @@ def extract_triples(transcripts: DataFrame, entities: Optional[DataFrame] = None
                     include_prev_turn: bool = True) -> DataFrame:
     """Full extraction: structural rules ∪ entity links ∪ embedded payloads.
 
-    The five per-turn structural rules (hasTurn/role/index/at/tool) are
-    FUSED into one scan: each turn row builds an array of triple structs
-    and explodes it (r6 optimization — the former 5-branch union re-ran
-    the transcript generator and the sha256 skolemization once per
-    branch; one pass emits the same multiset of rows). The rules that
-    genuinely need a different dataflow stay separate branches: the
-    window-lag prev-turn rule (whose shuffle carries only
-    conv_id/turn_idx/bnode), the broadcast-join mention rule (a dict
-    with duplicate mention keys must multiply mention rows ONLY), and
-    the Arrow-batched payload parse."""
+    Shape note (r6): a fused explode-of-struct-array variant (all five
+    structural rules in one pass) was measured SLOWER than this union
+    for both count() and full materialization — the per-branch
+    generator/sha2 re-evaluation is cheaper than building+filtering an
+    array of structs per row, and the union lets Catalyst prune unused
+    branches column-wise. Kept as-is deliberately."""
     t = (
         transcripts
         .withColumn("bnode", _skolem_bnode(F.col("conv_id"), F.col("turn_idx")))
@@ -125,45 +121,27 @@ def extract_triples(transcripts: DataFrame, entities: Optional[DataFrame] = None
     bnode = F.col("bnode")
     conv_iri = F.col("conv_iri")
 
-    def _tr(subj, pred: str, obj, is_literal: bool):
-        return F.struct(
-            subj.alias("subj"),
-            F.lit(f"<{pred}>").alias("pred"),
-            obj.alias("obj"),
-            F.lit(is_literal).alias("obj_is_literal"))
-
-    structural = F.array(
+    parts = [
         # conv --hasTurn--> turn bnode
-        _tr(conv_iri, V_NS + "hasTurn", bnode, False),
+        _rule(t, conv_iri, V_NS + "hasTurn", bnode, False),
         # turn --role--> "user"
-        _tr(bnode, V_NS + "role",
-            F.concat(F.lit('"'), F.col("role"), F.lit('"')), True),
+        _rule(t, bnode, V_NS + "role",
+              F.concat(F.lit('"'), F.col("role"), F.lit('"')), True),
         # turn --index--> "0"^^xsd:integer
-        _tr(bnode, V_NS + "index",
-            F.format_string('"%d"^^<%s>', F.col("turn_idx"),
-                            F.lit(XSD_INTEGER)), True),
+        _rule(t, bnode, V_NS + "index",
+              F.format_string('"%d"^^<%s>', F.col("turn_idx"),
+                              F.lit(XSD_INTEGER)), True),
         # turn --at--> "2026-01-01T00:00:00Z"^^xsd:dateTime
-        _tr(bnode, V_NS + "at",
-            F.format_string('"%s"^^<%s>',
-                            F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
-                            F.lit(XSD_DATETIME)), True),
-        # tool rule only where a tool is set (null slot filtered below)
-        F.when(F.col("tool") != "",
-               _tr(bnode, V_NS + "tool",
-                   F.concat(F.lit('"'), F.col("tool"), F.lit('"')), True)),
-    )
-    fused = (
-        t.select(
-            F.explode(F.filter(structural, lambda x: x.isNotNull()))
-            .alias("tr"),
-            F.col("conv_id"), F.col("turn_idx"))
-        .select(F.col("tr.subj").alias("subj"),
-                F.col("tr.pred").alias("pred"),
-                F.col("tr.obj").alias("obj"),
-                F.col("tr.obj_is_literal").alias("obj_is_literal"),
-                F.lit(None).cast("string").alias("graph"),
-                F.col("conv_id"), F.col("turn_idx")))
-    parts = [fused]
+        _rule(t, bnode, V_NS + "at",
+              F.format_string('"%s"^^<%s>',
+                              F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss'Z'"),
+                              F.lit(XSD_DATETIME)), True),
+    ]
+
+    # tool rule only where a tool is set
+    tool_rows = t.filter(F.col("tool") != "")
+    parts.append(_rule(tool_rows, F.col("bnode"), V_NS + "tool",
+                       F.concat(F.lit('"'), F.col("tool"), F.lit('"')), True))
 
     # prev-turn adjacency via window lag under stable turn ordering
     # (batch only — unbounded windows are not streamable). Only the

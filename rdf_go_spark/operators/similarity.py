@@ -40,26 +40,16 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
-def _dot_static(a, b, dim: int):
-    """Left-associated dot product unrolled at plan time: the SAME
-    float-op sequence as ``F.aggregate(F.zip_with(a, b, *), 0.0, +)``
-    (init 0.0, then acc + a[i]*b[i] in index order — bit-identical
-    results), but as a flat expression tree that whole-stage codegen
-    compiles, instead of the interpreted higher-order-function path
-    (r6 measurement: the lambda interpreter dominated cosine_topk)."""
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + a.getItem(i) * b.getItem(i)
-    return out
+def _dot_fold(a, b):
+    """The dot component of _cosine alone (same fold, same op order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
 
 
-def _norm_static(a, dim: int):
-    """sqrt of the unrolled self-dot — op-order-identical to _cosine's
-    ``sqrt(aggregate(transform(a, x*x), 0.0, +))``."""
-    out = F.lit(0.0)
-    for i in range(dim):
-        out = out + a.getItem(i) * a.getItem(i)
-    return F.sqrt(out)
+def _norm_fold(a):
+    """The norm component of _cosine alone (same fold, same op order)."""
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                              F.lit(0.0), lambda acc, x: acc + x))
 
 
 def cosine_topk(embeddings: DataFrame, n_queries: int = 20,
@@ -67,25 +57,20 @@ def cosine_topk(embeddings: DataFrame, n_queries: int = 20,
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors.
 
     Plan: broadcast the (tiny) query side into a crossish equi-free join —
-    the data side streams once; per-row cosine is whole-stage-codegen'd
-    (static unroll over the sniffed dimension), with each side's norm
-    hoisted BELOW the join so it is computed once per row instead of
-    once per (query, row) pair — same float ops, same values.
+    the data side streams once. Each side's norm is hoisted BELOW the
+    join (r6): computed once per row instead of once per (query, row)
+    pair — identical fold, identical float ops and values, ~2x at
+    driver scale. (A plan-time static unroll of the fold was measured
+    SLOWER than the interpreted higher-order path and rejected.)
     """
     emb = embeddings.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    head = emb.select(F.size("e").alias("d")).head(1)
-    dim = int(head[0]["d"]) if head else 0
+    emb = emb.withColumn("n_e", _norm_fold(F.col("e")))
     queries = (emb.filter(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
-                       F.col("e").alias("q")))
-    if dim > 0:
-        emb = emb.withColumn("n_e", _norm_static(F.col("e"), dim))
-        queries = queries.withColumn("n_q", _norm_static(F.col("q"), dim))
-        cos = (_dot_static(F.col("q"), F.col("e"), dim)
-               / (F.col("n_q") * F.col("n_e")))
-    else:  # unknown/empty dim: the generic fold (result is empty anyway)
-        cos = _cosine(F.col("q"), F.col("e"))
+                       F.col("e").alias("q"),
+                       F.col("n_e").alias("n_q")))
+    cos = _dot_fold(F.col("q"), F.col("e")) / (F.col("n_q") * F.col("n_e"))
     joined = emb.join(F.broadcast(queries),
                       F.col("vec_id") != F.col("query_id"))
     scored = joined.select(
