@@ -84,10 +84,16 @@ def _parse_payload_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataF
                                "graph", "conv_id", "turn_idx")}
         for conv_id, turn_idx, text in zip(pdf["conv_id"], pdf["turn_idx"],
                                            pdf["text"]):
-            idx = text.find(" <http")
-            if idx < 0:
-                continue
-            stmts, _errs = parse_document(text[idx + 1:])
+            # accept either a payload pre-sliced JVM-side (starts with
+            # the statement — extract_triples ships only the payload
+            # bytes across the Arrow boundary, guide §4) or a full turn
+            # text to scan
+            if not text.startswith("<http"):
+                idx = text.find(" <http")
+                if idx < 0:
+                    continue
+                text = text[idx + 1:]
+            stmts, _errs = parse_document(text)
             from ..terms import render_term
             for st in stmts:
                 out["subj"].append(render_term(st.s))
@@ -167,10 +173,14 @@ def extract_triples(transcripts: DataFrame, entities: Optional[DataFrame] = None
                            F.concat(F.lit("<"), F.col("entity_iri"), F.lit(">")),
                            False))
 
-    # embedded RDF payload: pre-filter JVM-side, parse with the kernel
+    # embedded RDF payload: pre-filter AND pre-slice JVM-side so only
+    # the payload bytes cross the Arrow boundary (guide §4: pass only
+    # the columns/bytes the function needs); parse with the kernel
     if include_payload:
         payload_rows = transcripts.filter(F.col("text").contains(" <http"))
-        parsed = payload_rows.select("conv_id", "turn_idx", "text") \
+        payload = F.expr("substring(text, instr(text, ' <http') + 1)")
+        parsed = payload_rows.select("conv_id", "turn_idx",
+                                     payload.alias("text")) \
             .mapInPandas(_parse_payload_batches, schema=TRIPLE_SCHEMA)
         parts.append(parsed)
 

@@ -361,12 +361,23 @@ def two_hop_census(spark: SparkSession, by_subj: str, by_obj: str) -> DataFrame:
              .agg(F.sum(F.col("n_in") * F.col("n_out")).alias("n_paths"),
                   F.count_distinct("mid").alias("n_mid")))
     # distinct sources per (pred1, pred2): dedupe BEFORE the join so hot
-    # mids cannot multiply rows
+    # mids cannot multiply rows. This branch ends in a GLOBAL shuffle
+    # (the (pred1, pred2, src) distinct) regardless of bucketing, so
+    # re-spreading its inputs over the full shuffle parallelism costs
+    # two narrow exchanges and lifts the n_buckets-task cap off the
+    # heaviest aggregate (r6: the bench graph has 8 buckets on a
+    # 32-core session; width derives from shuffle.partitions, never a
+    # constant). The degree/paths half above keeps its zero-exchange
+    # bucket co-location.
+    nparts = int(e1.sparkSession.conf.get(
+        "spark.sql.shuffle.partitions", "32"))
     src1 = (e1.select(F.col("subj").alias("src"),
                       F.col("pred").alias("pred1"),
-                      F.col("obj").alias("mid")).distinct())
-    mid_p2 = e2.select(F.col("subj").alias("mid"),
-                       F.col("pred").alias("pred2")).distinct()
+                      F.col("obj").alias("mid"))
+            .repartition(nparts, "mid").distinct())
+    mid_p2 = (e2.select(F.col("subj").alias("mid"),
+                        F.col("pred").alias("pred2"))
+              .repartition(nparts, "mid").distinct())
     n_src = (src1.join(mid_p2, "mid")
              .select("pred1", "pred2", "src").distinct()
              .groupBy("pred1", "pred2")
