@@ -302,6 +302,11 @@ def materialize_adjacency(triples: DataFrame, prefix: str,
     spark = triples.sparkSession
     by_subj, by_obj = f"{prefix}_by_subj", f"{prefix}_by_obj"
     parts = _bucket_write_partitions(spark, n_buckets)
+    # (r6: running both writes from concurrent driver threads — guide
+    # §2.6 — was measured WORSE here: the upstream extraction is
+    # CPU-bound and saturates the cluster, so there is no idle tail to
+    # back-fill and each thread re-pays the extraction. Sequential
+    # write-then-read-back stays.)
     for table, col in ((by_subj, "subj"), (by_obj, "obj")):
         _drop_managed_table(spark, table)
         (triples.repartition(parts, F.col(col))
