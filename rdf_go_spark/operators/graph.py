@@ -270,21 +270,24 @@ def materialize_bucketed(triples: DataFrame, table_name: str,
                          n_buckets: int = 32,
                          bucket_col: str = "subj") -> None:
     """Bucketed graph table for co-located joins (SURVEY.md §4): two tables
-    bucketed+sorted on the same key join with ZERO exchanges — the
+    bucketed on the same key join with ZERO exchanges — the
     100 TB answer to repeated subject-keyed joins (entity resolution,
     graph traversal steps). Verified in tests: a self-join plan on the
     bucket column contains no Exchange.
 
     The write clusters rows by the bucket column first (one deliberate
     exchange) so file count is O(parallelism), not O(input partitions ×
-    buckets) — see _bucket_write_partitions."""
+    buckets) — see _bucket_write_partitions. No sortBy (r6, measured
+    interleaved): with one bucket per write task the writer then skips
+    its per-task sort entirely (~3 s/build at sf1), while consumers
+    that want order pay a query-time Sort only where a sort is actually
+    required — which costs less than sorting every write."""
     spark = triples.sparkSession
     _drop_managed_table(spark, table_name)
     (triples.repartition(_bucket_write_partitions(spark, n_buckets),
                          F.col(bucket_col))
      .write.mode("overwrite")
      .bucketBy(n_buckets, bucket_col)
-     .sortBy(bucket_col)
      .format("parquet")
      .saveAsTable(table_name))
 
@@ -292,8 +295,8 @@ def materialize_bucketed(triples: DataFrame, table_name: str,
 def materialize_adjacency(triples: DataFrame, prefix: str,
                           n_buckets: int = 32) -> Tuple[str, str]:
     """Dual adjacency layout for traversal at scale: the edge set stored
-    twice — ``{prefix}_by_subj`` bucketed+sorted on subj (out-edges) and
-    ``{prefix}_by_obj`` bucketed+sorted on obj (in-edges). A hop join
+    twice — ``{prefix}_by_subj`` bucketed on subj (out-edges) and
+    ``{prefix}_by_obj`` bucketed on obj (in-edges). A hop join
     ``e1.obj = e2.subj`` then reads the in-edge table on its bucket column
     and the out-edge table on its bucket column: ZERO exchanges, the
     property-graph answer to multi-hop traversal over 100 TB (each hop is
@@ -312,7 +315,6 @@ def materialize_adjacency(triples: DataFrame, prefix: str,
         (triples.repartition(parts, F.col(col))
          .write.mode("overwrite")
          .bucketBy(n_buckets, col)
-         .sortBy(col)
          .format("parquet")
          .saveAsTable(table))
         # the second copy reads the first table back (a plain columnar
