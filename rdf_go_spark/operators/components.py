@@ -122,6 +122,11 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     ``with_distance=False`` drops the dist column and merges with a
     plain DISTINCT (set semantics — see transitive_closure_pairs).
 
+    Round caches are built once and dropped next round, so columnar
+    cache COMPRESSION is pure overhead for them — it is disabled for
+    the duration of the loop and restored after (r6, measured ~1 s at
+    sf1; representation-only, no semantic effect).
+
     Rounds persist src-partitioned CACHED DataFrames instead of
     localCheckpoints: an InMemoryRelation PRESERVES its output
     partitioning through Catalyst (a checkpoint's LogicalRDD does not),
@@ -130,8 +135,10 @@ def transitive_closure(edges: DataFrame, src: str = "src",
     two exchanges per round instead of three, and the fixpoint count()
     doubles as the cache-materializing action (measured ~35% faster at
     sf0.1; BENCH/BASELINE.md §6)."""
-    nparts = int(edges.sparkSession.conf.get(
-        "spark.sql.shuffle.partitions", "32"))
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    _COMPRESS = "spark.sql.inMemoryColumnarStorage.compressed"
+    prev_compress = spark.conf.get(_COMPRESS, "true")
 
     def _round(paths, n, i, with_dist):
         if with_dist:
@@ -171,20 +178,24 @@ def transitive_closure(edges: DataFrame, src: str = "src",
          .localCheckpoint(eager=False))
     if with_distance:
         e = e.withColumn("dist", F.lit(1))
-    paths = (e.repartition(nparts, "src")
-             .dropDuplicates(["src", "dst"]).persist())
-    n = paths.count()
-    # path doubling: composing paths with paths covers depth 2^k after k
-    # rounds — O(log diameter) iterations (and driver round-trips)
-    # instead of O(diameter); per-round cost is a closure self-join,
-    # bounded by the final closure size either way
-    for i in range(max_iter):
-        merged, m = _round(paths, n, i, with_distance)
-        if m == n:
-            merged.unpersist(False)
-            break
-        paths.unpersist(False)
-        paths, n = merged, m
+    spark.conf.set(_COMPRESS, "false")  # round caches: see docstring
+    try:
+        paths = (e.repartition(nparts, "src")
+                 .dropDuplicates(["src", "dst"]).persist())
+        n = paths.count()
+        # path doubling: composing paths with paths covers depth 2^k
+        # after k rounds — O(log diameter) iterations (and driver
+        # round-trips) instead of O(diameter); per-round cost is a
+        # closure self-join, bounded by the final closure size either way
+        for i in range(max_iter):
+            merged, m = _round(paths, n, i, with_distance)
+            if m == n:
+                merged.unpersist(False)
+                break
+            paths.unpersist(False)
+            paths, n = merged, m
+    finally:
+        spark.conf.set(_COMPRESS, prev_compress)
     return paths
 
 
